@@ -1,0 +1,405 @@
+"""Flash-attention backward: the two-kernel atomics-free design.
+
+TPU-native redesign of the reference's backward
+(AttentionKernel+Source.swift:202-293, AttentionKernelType.swift:10-23,
+README.md:39-46): instead of one pass with float atomics, run two fully
+parallel passes with a higher FLOP count —
+
+  backward_query      (parallel over row blocks; loops over KV):
+      D = rowsum(dO ⊙ O)   (computed inline in setup, the reference's
+                            computeD — AttentionKernel+Softmax.swift:32-221)
+      loop c:  S = Q K^T → P = exp2(S·s2 − L2) → dP = dO V^T →
+               dS = P(dP − D)·scale → dQ += dS K
+      (reference loopBackwardQuery, AttentionKernel+Source.swift:202-242)
+
+  backward_key_value  (parallel over column blocks; loops over rows):
+      loop r:  S = Q K^T → P → dV += P^T dO → dP = dO V^T →
+               dS → dK += dS^T Q
+      (reference loopBackwardKeyValue, AttentionKernel+Source.swift:244-293;
+      the reference materializes the S^T orientation — on TPU the MXU takes
+      transposed contractions natively via dot_general dimension numbers,
+      so everything stays row-major with zero relayouts)
+
+TPU is the same boat as Apple GPUs — no fast cross-core float atomics — so
+the 9D+15 vs 5D+5 FLOP trade (README.md:11) transfers directly and buys
+100% parallelism on both passes.
+
+L and the D term travel lane-replicated as [BH, R, 128] fp32 so row
+vectors read back as (bq, 1) columns with no relayout.
+
+GQA note: backward_key_value folds the query-head group into the sequential
+traversal axis, so dK/dV for one KV head accumulate over its whole query
+group in VMEM without atomics or extra HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mfa_tpu.ops.descriptors import AttentionKernelDescriptor
+from mfa_tpu.kernels.flash_fwd import LOG2E, MASK_VALUE, LANES, _cdiv
+
+
+def _soft_cap_fwd_grad(s, cap):
+    """Returns (capped scores, d capped/d s) for the soft-cap nonlinearity."""
+    t = jnp.tanh(s / cap)
+    return cap * t, 1.0 - t * t
+
+
+# ---------------------------------------------------------------------------
+# backward_query: D and dQ, parallel over row blocks
+# ---------------------------------------------------------------------------
+
+
+def _bwd_q_kernel(
+    q_ref, k_ref, v_ref, o_ref, do_ref, l_ref,     # inputs
+    dq_ref, dterm_ref,                             # outputs
+    d_scr, acc_scr,                                # scratch
+    *,
+    kd: AttentionKernelDescriptor,
+    scale: float,
+    seq_len_q: int,
+    seq_len_kv: int,
+    num_kv_blocks: int,
+):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    bq, bkv = kd.block_q, kd.block_kv
+    scale2 = scale * LOG2E
+    _prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+             else jax.lax.Precision.DEFAULT)
+
+    @pl.when(j == 0)
+    def _setup():
+        # computeD: rowwise dO·O reduction (Softmax.swift:32-221). The
+        # reference does simd shuffles; on TPU it's one VPU row reduction.
+        d_term = jnp.sum(
+            do_ref[0].astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        d_scr[...] = jnp.broadcast_to(d_term, d_scr.shape)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        dterm_ref[0] = jnp.broadcast_to(d_term, dterm_ref.shape[1:])
+
+    if kd.causal:
+        offset = seq_len_kv - seq_len_q
+        block_live = j * bkv <= (i + 1) * bq - 1 + offset
+    else:
+        block_live = True
+
+    @pl.when(block_live)
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        nd = max(1, q.shape[-1] // kd.block_d)
+
+        s = jnp.zeros((bq, bkv), jnp.float32)
+        for db in range(nd):
+            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            s += jax.lax.dot_general(
+                q[:, sl], k[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec,
+            )
+        s2 = s * scale2
+        if kd.logit_soft_cap is not None:
+            cap2 = kd.logit_soft_cap * LOG2E
+            s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
+
+        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        mask = col < seq_len_kv
+        if kd.causal:
+            row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+            mask &= col <= row + (seq_len_kv - seq_len_q)
+        s2 = jnp.where(mask, s2, MASK_VALUE)
+
+        lse2 = l_ref[0][:, :1] * LOG2E                   # (bq, 1)
+        p = jnp.exp2(s2 - lse2)                          # true probabilities
+
+        d_o = do_ref[0]
+        v = v_ref[0]
+        dp = jnp.zeros((bq, bkv), jnp.float32)
+        for db in range(nd):
+            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            dp += jax.lax.dot_general(
+                d_o[:, sl], v[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec,
+            )
+
+        ds = p * (dp - d_scr[:, :1])
+        if kd.logit_soft_cap is not None:
+            ds = ds * cap_grad
+        ds = ds * scale
+        ds_cast = ds.astype(k.dtype if kd.kv_precision.bits <= 16 else jnp.float32)
+        for db in range(nd):
+            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            acc_scr[:, sl] += jax.lax.dot_general(
+                ds_cast, k[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec,
+            )
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
+
+
+def build_bwd_query(
+    kd: AttentionKernelDescriptor,
+    *,
+    batch_heads: int,
+    kv_batch_heads: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    d_pad: int,
+    scale: float,
+    q_dtype,
+    kv_dtype,
+    interpret: bool = False,
+):
+    """dQ pass. Inputs: q, o, do [BH, R_pad, D_pad]; k, v [BHkv, C_pad, D_pad];
+    l [BH, R_pad, LANES]. Outputs: dq fp32 [BH, R_pad, D_pad], D-term fp32
+    [BH, R_pad, LANES] (lane-replicated)."""
+    bq, bkv = kd.block_q, kd.block_kv
+    r_pad = _cdiv(seq_len_q, bq) * bq
+    c_pad = _cdiv(seq_len_kv, bkv) * bkv
+    num_q_blocks = r_pad // bq
+    num_kv_blocks = c_pad // bkv
+    group = batch_heads // kv_batch_heads
+
+    kernel = functools.partial(
+        _bwd_q_kernel,
+        kd=kd, scale=scale,
+        seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
+        num_kv_blocks=num_kv_blocks,
+    )
+
+    def row_map(bh, i, j):
+        return (bh, i, 0)
+
+    def kv_map(bh, i, j):
+        return (bh // group, j, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(batch_heads, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), row_map),    # q
+            pl.BlockSpec((1, bkv, d_pad), kv_map),    # k
+            pl.BlockSpec((1, bkv, d_pad), kv_map),    # v
+            pl.BlockSpec((1, bq, d_pad), row_map),    # o
+            pl.BlockSpec((1, bq, d_pad), row_map),    # do
+            pl.BlockSpec((1, bq, LANES), row_map),    # l
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d_pad), row_map),    # dq
+            pl.BlockSpec((1, bq, LANES), row_map),    # D-term
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch_heads, r_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((batch_heads, r_pad, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),     # D term, row-replicated
+            pltpu.VMEM((bq, d_pad), jnp.float32),     # dQ accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# backward_key_value: dK and dV, parallel over column blocks
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kv_kernel(
+    q_ref, k_ref, v_ref, do_ref, l_ref, dterm_ref,  # inputs
+    dk_ref, dv_ref,                                  # outputs
+    dk_scr, dv_scr,                                  # scratch accumulators
+    *,
+    kd: AttentionKernelDescriptor,
+    scale: float,
+    seq_len_q: int,
+    seq_len_kv: int,
+    num_q_blocks: int,
+):
+    j = pl.program_id(1)          # kv block (parallel)
+    t = pl.program_id(2)          # traversal: (query-head of group, q block)
+    bq, bkv = kd.block_q, kd.block_kv
+    scale2 = scale * LOG2E
+    _prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+             else jax.lax.Precision.DEFAULT)
+
+    i = t % num_q_blocks          # q block within the current query head
+
+    @pl.when(t == 0)
+    def _setup():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if kd.causal:
+        offset = seq_len_kv - seq_len_q
+        block_live = j * bkv <= (i + 1) * bq - 1 + offset
+    else:
+        block_live = True
+
+    @pl.when(block_live)
+    def _body():
+        k = k_ref[0]
+        q = q_ref[0]
+        nd = max(1, q.shape[-1] // kd.block_d)
+
+        # S = Q K^T (bq, bkv) — row-major; transposed contractions below
+        # feed the MXU directly (no materialized S^T, unlike the reference).
+        s = jnp.zeros((bq, bkv), jnp.float32)
+        for db in range(nd):
+            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            s += jax.lax.dot_general(
+                q[:, sl], k[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec,
+            )
+        s2 = s * scale2
+        if kd.logit_soft_cap is not None:
+            cap2 = kd.logit_soft_cap * LOG2E
+            s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
+
+        row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        mask = (row < seq_len_q) & (col < seq_len_kv)
+        if kd.causal:
+            mask &= col <= row + (seq_len_kv - seq_len_q)
+        s2 = jnp.where(mask, s2, MASK_VALUE)
+
+        lse2 = l_ref[0][:, :1] * LOG2E                    # (bq, 1)
+        p = jnp.exp2(s2 - lse2)                           # (bq, bkv)
+
+        d_o = do_ref[0]
+        v = v_ref[0]
+        in_lo = kd.kv_precision.bits <= 16
+        p_cast = p.astype(k.dtype if in_lo else jnp.float32)
+
+        # dV += P^T dO — contract over rows (dim 0 of both operands).
+        for db in range(nd):
+            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            dv_scr[:, sl] += jax.lax.dot_general(
+                p_cast, d_o[:, sl],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec,
+            )
+
+        # dP = dO V^T  (bq, bkv)
+        dp = jnp.zeros((bq, bkv), jnp.float32)
+        for db in range(nd):
+            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            dp += jax.lax.dot_general(
+                d_o[:, sl], v[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec,
+            )
+
+        ds = p * (dp - dterm_ref[0][:, :1])
+        if kd.logit_soft_cap is not None:
+            ds = ds * cap_grad
+        ds = ds * scale
+        ds_cast = ds.astype(k.dtype if in_lo else jnp.float32)
+
+        # dK += dS^T Q — contract over rows.
+        for db in range(nd):
+            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            dk_scr[:, sl] += jax.lax.dot_general(
+                ds_cast, q[:, sl],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec,
+            )
+
+    @pl.when(t == pl.num_programs(2) - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def build_bwd_key_value(
+    kd: AttentionKernelDescriptor,
+    *,
+    batch_heads: int,
+    kv_batch_heads: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    d_pad: int,
+    scale: float,
+    q_dtype,
+    kv_dtype,
+    interpret: bool = False,
+):
+    """dK/dV pass, parallel over KV blocks. The traversal axis runs over
+    (query-head group × q blocks) so GQA accumulates into one KV-head
+    gradient without atomics. Outputs dk, dv fp32 [BHkv, C_pad, D_pad]."""
+    bq, bkv = kd.block_q, kd.block_kv
+    r_pad = _cdiv(seq_len_q, bq) * bq
+    c_pad = _cdiv(seq_len_kv, bkv) * bkv
+    num_q_blocks = r_pad // bq
+    num_kv_blocks = c_pad // bkv
+    group = batch_heads // kv_batch_heads
+
+    kernel = functools.partial(
+        _bwd_kv_kernel,
+        kd=kd, scale=scale,
+        seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
+        num_q_blocks=num_q_blocks,
+    )
+
+    # Traversal axis t enumerates (g, i): query head g of the group, then
+    # its q blocks. bh of the q-side = bh_kv * group + g.
+    def q_map(bhkv, j, t):
+        g = t // num_q_blocks
+        i = t % num_q_blocks
+        return (bhkv * group + g, i, 0)
+
+    def kv_map(bhkv, j, t):
+        return (bhkv, j, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(kv_batch_heads, num_kv_blocks, group * num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), q_map),      # q
+            pl.BlockSpec((1, bkv, d_pad), kv_map),    # k
+            pl.BlockSpec((1, bkv, d_pad), kv_map),    # v
+            pl.BlockSpec((1, bq, d_pad), q_map),      # do
+            pl.BlockSpec((1, bq, LANES), q_map),      # l
+            pl.BlockSpec((1, bq, LANES), q_map),      # D-term
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bkv, d_pad), kv_map),    # dk
+            pl.BlockSpec((1, bkv, d_pad), kv_map),    # dv
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kv_batch_heads, c_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((kv_batch_heads, c_pad, d_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d_pad), jnp.float32),    # dK accumulator
+            pltpu.VMEM((bkv, d_pad), jnp.float32),    # dV accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )

@@ -1,0 +1,241 @@
+"""Flash-attention forward Pallas kernel (online softmax, streaming KV).
+
+TPU-native redesign of the reference's forward kernel
+(AttentionKernel+Source.swift:158-199): for each block of rows (the
+"parallelization dimension", here the grid), stream blocks of K/V (the
+"traversal dimension", here the innermost sequential grid axis) through:
+
+    S = Q K^T → mask → online max → correct O → P = exp2 → online sum →
+    O += P V        (reference loopForward, :176-199)
+
+Mapping of reference machinery onto TPU:
+- threadgroups over row blocks         → Pallas grid axes (bh, q-block)
+- traversal loop ``for c in 0..C``     → innermost grid axis with carried
+  VMEM scratch (m, l, acc) — Mosaic double-buffers the K/V block DMAs, the
+  analogue of the reference's async simdgroup_event copies
+- register-resident Q/O slabs (AttentionKernel+Caching.swift) → VMEM scratch
+  held across the traversal loop
+- D-blocking (third block dimension, README.md:13) → static inner loop over
+  head-dim slices of Q/K for the S matmul and of V/acc for the PV matmul
+- exp2-based softmax with the scale folded into one multiply
+  (AttentionKernel+Softmax.swift:17-26) → identical trick here
+- edge masking with a large-finite sentinel, not -INF
+  (AttentionKernel+Softmax.swift:228-260) → same sentinel strategy
+
+Outputs O and L where L = natural-log logsumexp per row (the reference
+stores m + log2(l); we store the base-e equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mfa_tpu.ops.descriptors import AttentionKernelDescriptor
+
+LOG2E = math.log2(math.e)
+# Large-finite mask sentinel (reference: AttentionKernel+Softmax.swift:228-260
+# uses -large-finite so (masked - masked) never produces NaN).
+MASK_VALUE = -0.5 * float(jnp.finfo(jnp.float32).max)
+# Lane width used for the m/l scratch rows.
+LANES = 128
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref,          # inputs
+    o_ref, l_ref,                 # outputs
+    m_scr, l_scr, acc_scr,        # VMEM scratch carried across kv blocks
+    *,
+    kd: AttentionKernelDescriptor,
+    scale: float,
+    seq_len_q: int,
+    seq_len_kv: int,
+    num_kv_blocks: int,
+):
+    i = pl.program_id(1)          # q block index
+    j = pl.program_id(2)          # kv block index (sequential)
+    bq, bkv = kd.block_q, kd.block_kv
+    d_pad = q_ref.shape[-1]
+    # FP32 inputs need full-precision MXU passes (TPU fp32 matmul
+    # defaults to one bf16 pass, ~1e-1 error at K~128 — the FP32 error
+    # budget is 2e-5, so request HIGHEST).
+    _prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+             else jax.lax.Precision.DEFAULT)
+    scale2 = scale * LOG2E        # folded log2(e)·scale, one multiply
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # Causal block skip: block (i, j) is fully masked when its lowest query
+    # row sees none of its columns. diag offset aligns causal mask to the
+    # sequence ends (query r attends keys <= r + C - R).
+    if kd.causal:
+        offset = seq_len_kv - seq_len_q
+        block_live = j * bkv <= (i + 1) * bq - 1 + offset
+    else:
+        block_live = True
+
+    @pl.when(block_live)
+    def _body():
+        q = q_ref[0]                       # (bq, d_pad)
+        k = k_ref[0]                       # (bkv, d_pad)
+
+        # --- S = Q K^T, accumulated over head-dim blocks (D-blocking) ---
+        nd = max(1, d_pad // kd.block_d)
+        s = jnp.zeros((bq, bkv), jnp.float32)
+        for db in range(nd):
+            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            s += jax.lax.dot_general(
+                q[:, sl], k[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec,
+            )
+        s *= scale2                        # base-2 domain from here on
+
+        if kd.logit_soft_cap is not None:
+            cap2 = kd.logit_soft_cap * LOG2E
+            s = cap2 * jnp.tanh(s / cap2)
+
+        # --- masking (edge + causal), large-finite sentinel ---
+        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        mask = col < seq_len_kv
+        if kd.causal:
+            row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+            mask &= col <= row + (seq_len_kv - seq_len_q)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        # --- online softmax update (AttentionKernel+Softmax.swift:267-324) ---
+        m_prev = m_scr[...]                # (bq, LANES), row-replicated
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)           # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)                   # (bq, LANES)
+        corr = jnp.exp2(m_prev - m_new)                      # O-correction
+        p = jnp.exp2(s - m_new[:, :1])                       # (bq, bkv)
+        l_new = corr * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_new
+        l_scr[...] = l_new
+
+        # --- O accumulation: acc = acc*corr + P V, paged over d blocks ---
+        p_cast = p.astype(v_ref.dtype if kd.kv_precision.bits <= 16 else jnp.float32)
+        v = v_ref[0]
+        for db in range(nd):
+            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            pv = jax.lax.dot_general(
+                p_cast, v[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_prec,
+            )
+            acc_scr[:, sl] = acc_scr[:, sl] * corr[:, :1] + pv
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _finalize():
+        l_safe = jnp.maximum(l_scr[...], 1e-37)              # (bq, LANES)
+        o_ref[0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
+        # L = natural-log logsumexp = (m + log2 l) · ln2. Stored
+        # lane-replicated (bq, LANES) — the layout Mosaic wants for
+        # row-vector outputs, and it reads back as a (bq, 1) column with
+        # no relayout in the backward kernels.
+        lse2 = m_scr[...] + jnp.log2(l_safe)                 # base-2 lse
+        l_ref[0] = lse2 * (1.0 / LOG2E)
+
+
+def build_fwd(
+    kd: AttentionKernelDescriptor,
+    *,
+    batch_heads: int,
+    kv_batch_heads: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    d_pad: int,
+    scale: float,
+    q_dtype,
+    kv_dtype,
+    o_dtype,
+    interpret: bool = False,
+):
+    """Build the forward pallas_call for one shape class.
+
+    Operand layout: q [BH, R_pad, D_pad]; k, v [BHkv, C_pad, D_pad];
+    outputs o [BH, R_pad, D_pad], l [BH, R_pad]. GQA is handled by the KV
+    index map (query head h reads kv head h // group).
+    """
+    bq, bkv = kd.block_q, kd.block_kv
+    r_pad = _cdiv(seq_len_q, bq) * bq
+    c_pad = _cdiv(seq_len_kv, bkv) * bkv
+    num_q_blocks = r_pad // bq
+    num_kv_blocks = c_pad // bkv
+    group = batch_heads // kv_batch_heads
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        kd=kd,
+        scale=scale,
+        seq_len_q=seq_len_q,
+        seq_len_kv=seq_len_kv,
+        num_kv_blocks=num_kv_blocks,
+    )
+
+    grid = (batch_heads, num_q_blocks, num_kv_blocks)
+
+    def q_map(bh, i, j):
+        return (bh, i, 0)
+
+    def kv_map(bh, i, j):
+        return (bh // group, j, 0)
+
+    def o_map(bh, i, j):
+        return (bh, i, 0)
+
+    def l_map(bh, i, j):
+        return (bh, i, 0)
+
+    flops = 2 * batch_heads * seq_len_q * seq_len_kv * (2 * d_pad)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), q_map),
+            pl.BlockSpec((1, bkv, d_pad), kv_map),
+            pl.BlockSpec((1, bkv, d_pad), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d_pad), o_map),
+            pl.BlockSpec((1, bq, LANES), l_map),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch_heads, r_pad, d_pad), o_dtype),
+            jax.ShapeDtypeStruct((batch_heads, r_pad, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),   # m
+            pltpu.VMEM((bq, LANES), jnp.float32),   # l
+            pltpu.VMEM((bq, d_pad), jnp.float32),   # O accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(
+                batch_heads * r_pad * d_pad * 2 * jnp.dtype(q_dtype).itemsize
+                + 2 * kv_batch_heads * c_pad * d_pad * jnp.dtype(kv_dtype).itemsize
+            ),
+            transcendentals=batch_heads * seq_len_q * seq_len_kv,
+        ),
+        interpret=interpret,
+    )
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)

@@ -1,0 +1,295 @@
+"""Public attention API: descriptor-driven, cached, differentiable.
+
+The user-facing layer of the attention stack (the role the reference's L4
+descriptor API plays — AttentionDescriptor.swift:10-27 — but with the
+multi-batch/multi-head/GQA dispatch the reference leaves out, README.md:7).
+
+Dispatch path (mirrors the reference call stack, SURVEY.md §3.2):
+
+  flash_attention(q, k, v)
+    └─ AttentionDescriptor → kernel_descriptor(type)   [heuristic tables]
+       └─ two-level cache probe (ops/cache.py)
+          └─ build_fwd / build_bwd_* pallas_call        [kernels/]
+             └─ Mosaic/XLA compile (JAX jit cache = pipeline cache)
+
+Differentiation is a custom VJP wiring the three kernels exactly like the
+reference's one-command-buffer dispatch order: forward → backward_query →
+backward_key_value (SquareAttentionTest.swift:355-368).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from mfa_tpu.kernels import flash_bwd, flash_fwd
+from mfa_tpu.ops.cache import attention_cache
+from mfa_tpu.ops.descriptors import (
+    AttentionDescriptor,
+    AttentionKernelType,
+    round_up,
+)
+
+
+@dataclass(frozen=True)
+class _AttnConfig:
+    causal: bool
+    scale: float | None
+    logit_soft_cap: float | None
+    interpret: bool
+
+
+def _auto_interpret() -> bool:
+    """Pallas kernels run interpreted on the CPU backend (the test rung the
+    reference lacks — SURVEY.md §4 'TPU translation')."""
+    return jax.default_backend() == "cpu"
+
+
+def _descriptor(q, k, v, cfg: _AttnConfig) -> AttentionDescriptor:
+    b, hq, r, d = q.shape
+    _, hkv, c, _ = k.shape
+    low = q.dtype in (jnp.bfloat16, jnp.float16)
+    return AttentionDescriptor(
+        batch=b,
+        num_q_heads=hq,
+        num_kv_heads=hkv,
+        seq_len_q=r,
+        seq_len_kv=c,
+        head_dim=d,
+        causal=cfg.causal,
+        scale=cfg.scale,
+        logit_soft_cap=cfg.logit_soft_cap,
+        low_precision_inputs=low,
+    )
+
+
+def _pad3(x, s_pad, d_pad):
+    """[N, S, D] → zero-padded [N, s_pad, d_pad]."""
+    n, s, d = x.shape
+    if s == s_pad and d == d_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, d_pad - d)))
+
+
+def _fold(x):
+    b, h, s, d = x.shape
+    return x.reshape(b * h, s, d)
+
+
+def _shape_key(desc: AttentionDescriptor, kd, q, k, cfg):
+    return (
+        kd,
+        desc.batch, desc.num_q_heads, desc.num_kv_heads,
+        desc.seq_len_q, desc.seq_len_kv, desc.head_dim,
+        str(q.dtype), str(k.dtype),
+        desc.softmax_scale, cfg.interpret,
+    )
+
+
+def _get_fwd(desc, kd, q, k, o_dtype, cfg):
+    b, hq, hkv = desc.batch, desc.num_q_heads, desc.num_kv_heads
+    d_pad = round_up(desc.head_dim, 128)
+    build = functools.partial(
+        flash_fwd.build_fwd,
+        kd,
+        batch_heads=b * hq,
+        kv_batch_heads=b * hkv,
+        seq_len_q=desc.seq_len_q,
+        seq_len_kv=desc.seq_len_kv,
+        d_pad=d_pad,
+        scale=desc.softmax_scale,
+        q_dtype=q.dtype,
+        kv_dtype=k.dtype,
+        o_dtype=o_dtype,
+        interpret=cfg.interpret,
+    )
+    key = ("fwd", _shape_key(desc, kd, q, k, cfg), str(o_dtype))
+    return attention_cache.get_pipeline(key, key, build, lambda kern: kern)
+
+
+def _get_bwd_q(desc, kd, q, k, cfg):
+    b, hq, hkv = desc.batch, desc.num_q_heads, desc.num_kv_heads
+    d_pad = round_up(desc.head_dim, 128)
+    build = functools.partial(
+        flash_bwd.build_bwd_query,
+        kd,
+        batch_heads=b * hq,
+        kv_batch_heads=b * hkv,
+        seq_len_q=desc.seq_len_q,
+        seq_len_kv=desc.seq_len_kv,
+        d_pad=d_pad,
+        scale=desc.softmax_scale,
+        q_dtype=q.dtype,
+        kv_dtype=k.dtype,
+        interpret=cfg.interpret,
+    )
+    key = ("bwd_q", _shape_key(desc, kd, q, k, cfg))
+    return attention_cache.get_pipeline(key, key, build, lambda kern: kern)
+
+
+def _get_bwd_kv(desc, kd, q, k, cfg):
+    b, hq, hkv = desc.batch, desc.num_q_heads, desc.num_kv_heads
+    d_pad = round_up(desc.head_dim, 128)
+    build = functools.partial(
+        flash_bwd.build_bwd_key_value,
+        kd,
+        batch_heads=b * hq,
+        kv_batch_heads=b * hkv,
+        seq_len_q=desc.seq_len_q,
+        seq_len_kv=desc.seq_len_kv,
+        d_pad=d_pad,
+        scale=desc.softmax_scale,
+        q_dtype=q.dtype,
+        kv_dtype=k.dtype,
+        interpret=cfg.interpret,
+    )
+    key = ("bwd_kv", _shape_key(desc, kd, q, k, cfg))
+    return attention_cache.get_pipeline(key, key, build, lambda kern: kern)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q, k, v, cfg: _AttnConfig):
+    return _run_forward(q, k, v, cfg)[0]
+
+
+def _run_forward(q, k, v, cfg):
+    desc = _descriptor(q, k, v, cfg)
+    kd = desc.kernel_descriptor(AttentionKernelType.FORWARD)
+    d_pad = round_up(desc.head_dim, 128)
+    r_pad = round_up(desc.seq_len_q, kd.block_q)
+    c_pad = round_up(desc.seq_len_kv, kd.block_kv)
+
+    q3 = _pad3(_fold(q), r_pad, d_pad)
+    k3 = _pad3(_fold(k), c_pad, d_pad)
+    v3 = _pad3(_fold(v), c_pad, d_pad)
+
+    o_dtype = q.dtype
+    fwd = _get_fwd(desc, kd, q, k, o_dtype, cfg)
+    o_pad, l_pad = fwd(q3, k3, v3)
+    b, hq, r, d = q.shape
+    o = o_pad[:, :r, :d].reshape(b, hq, r, d)
+    return o, (q3, k3, v3, o_pad, l_pad)
+
+
+def _flash_fwd_rule(q, k, v, cfg):
+    o, res = _run_forward(q, k, v, cfg)
+    return o, (q, k, v, *res)
+
+
+def _flash_bwd_rule(cfg, res, g):
+    q, k, v, q3, k3, v3, o_pad, l_pad = res
+    desc = _descriptor(q, k, v, cfg)
+    b, hq, r, d = q.shape
+    _, hkv, c, _ = k.shape
+
+    kd_q = desc.kernel_descriptor(AttentionKernelType.BACKWARD_QUERY)
+    kd_kv = desc.kernel_descriptor(AttentionKernelType.BACKWARD_KEY_VALUE)
+
+    d_pad = round_up(d, 128)
+
+    # dQ pass (+ inline D term) — reference loopBackwardQuery.
+    r_pad_q = round_up(r, kd_q.block_q)
+    c_pad_q = round_up(c, kd_q.block_kv)
+    do3 = _pad3(_fold(g), r_pad_q, d_pad)
+    bwd_q = _get_bwd_q(desc, kd_q, q, k, cfg)
+    dq_pad, dterm_pad = bwd_q(
+        _repad(q3, r_pad_q, d_pad),
+        _repad(k3, c_pad_q, d_pad),
+        _repad(v3, c_pad_q, d_pad),
+        _repad(o_pad, r_pad_q, d_pad),
+        do3,
+        _repad1(l_pad, r_pad_q),
+    )
+
+    # dK/dV pass — reference loopBackwardKeyValue; reads L and the D term.
+    r_pad_kv = round_up(r, kd_kv.block_q)
+    c_pad_kv = round_up(c, kd_kv.block_kv)
+    bwd_kv = _get_bwd_kv(desc, kd_kv, q, k, cfg)
+    dk_pad, dv_pad = bwd_kv(
+        _repad(q3, r_pad_kv, d_pad),
+        _repad(k3, c_pad_kv, d_pad),
+        _repad(v3, c_pad_kv, d_pad),
+        _repad(do3, r_pad_kv, d_pad),
+        _repad1(l_pad, r_pad_kv),
+        _repad1(dterm_pad, r_pad_kv),
+    )
+
+    dq = dq_pad[:, :r, :d].reshape(b, hq, r, d).astype(q.dtype)
+    dk = dk_pad[:, :c, :d].reshape(b, hkv, c, d).astype(k.dtype)
+    dv = dv_pad[:, :c, :d].reshape(b, hkv, c, d).astype(v.dtype)
+    return dq, dk, dv
+
+
+def _repad(x3, s_pad, d_pad):
+    n, s, dd = x3.shape
+    if s == s_pad and dd == d_pad:
+        return x3
+    if s >= s_pad:
+        return x3[:, :s_pad, :d_pad]
+    return jnp.pad(x3, ((0, 0), (0, s_pad - s), (0, d_pad - dd)))
+
+
+def _repad1(x3, s_pad):
+    """Re-pad the row axis of a lane-replicated [BH, R_pad, LANES] vector."""
+    n, s, lanes = x3.shape
+    if s == s_pad:
+        return x3
+    if s >= s_pad:
+        return x3[:, :s_pad]
+    return jnp.pad(x3, ((0, 0), (0, s_pad - s), (0, 0)))
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(
+    q,
+    k,
+    v,
+    *,
+    causal: bool = False,
+    scale: float | None = None,
+    logit_soft_cap: float | None = None,
+    interpret: bool | None = None,
+    with_lse: bool = False,
+):
+    """Flash attention over [batch, heads, seq, head_dim] operands.
+
+    GQA/MQA: ``k``/``v`` may have fewer heads than ``q`` (must divide).
+    Differentiable (two-kernel atomics-free backward). ``with_lse`` also
+    returns the per-row natural-log logsumexp L (not differentiable path).
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    cfg = _AttnConfig(
+        causal=causal, scale=scale, logit_soft_cap=logit_soft_cap,
+        interpret=interpret,
+    )
+    if with_lse:
+        o, (_, _, _, _, l_pad) = _run_forward(q, k, v, cfg)
+        lse = l_pad[:, : q.shape[2], 0]
+        return o, lse.reshape(q.shape[0], q.shape[1], q.shape[2])
+    return _flash(q, k, v, cfg)
+
+
+def mha(x_q, x_k, x_v, **kwargs):
+    """Convenience wrapper for the common [batch, seq, heads, head_dim]
+    layout: transposes to canonical [B, H, S, D], runs, transposes back."""
+    q = jnp.swapaxes(x_q, 1, 2)
+    k = jnp.swapaxes(x_k, 1, 2)
+    v = jnp.swapaxes(x_v, 1, 2)
+    o = flash_attention(q, k, v, **kwargs)
+    return jnp.swapaxes(o, 1, 2)

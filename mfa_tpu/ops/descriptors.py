@@ -1,0 +1,266 @@
+"""Problem- and kernel-level descriptors.
+
+The reference's three-tier configuration pipeline, kept almost verbatim
+(SURVEY.md calls it "the single most reusable design in the repo"):
+
+  problem descriptor (user-facing)
+    → heuristics + parameter tables
+      → kernel descriptor (hashable; the specialization-cache key)
+
+References:
+- ``AttentionDescriptor`` (AttentionDescriptor.swift:10-27) →
+  :class:`AttentionDescriptor`
+- ``AttentionKernelDescriptor`` (AttentionKernelDescriptor.swift:8-49) →
+  :class:`AttentionKernelDescriptor`
+- ``GEMMDescriptor`` / ``GEMMKey`` (GEMMDescriptor.swift:11-74) →
+  :class:`GEMMDescriptor`
+- ``GEMMKernelDescriptor`` (GEMMKernelDescriptor.swift:21-181) →
+  :class:`GEMMKernelDescriptor`
+
+Metal function constants (exact M/N/K baked at pipeline-build time,
+GEMMKernel+Source.swift:117-127) map onto XLA static shapes at trace time:
+the kernel descriptor captures the *shape class* (block dims, dtypes), and
+``jax.jit`` specializes on the exact shapes — exactly the reference's
+library-cache vs pipeline-cache split.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, replace
+
+from mfa_tpu.ops import params as params_mod
+from mfa_tpu.ops.precision import (
+    AttentionOperand,
+    OperandPrecision,
+    PrecisionPolicy,
+    make_precision_policy,
+)
+
+
+class AttentionKernelType(enum.Enum):
+    """The three-kernel split (reference: AttentionKernelType.swift:10-23).
+
+    forward            — computes O and L(=m + log2 l), parallel over rows
+    backward_query     — computes D and dQ, parallel over rows
+    backward_key_value — computes dK and dV, parallel over columns
+
+    The split is the atomics-free backward: dQ and dK/dV are two separate,
+    100%-parallel passes (reference README.md:39-46). TPU also lacks fast
+    cross-core float atomics, so the design transfers directly.
+    """
+
+    FORWARD = "forward"
+    BACKWARD_QUERY = "backward_query"
+    BACKWARD_KEY_VALUE = "backward_key_value"
+
+
+@dataclass(frozen=True)
+class AttentionDescriptor:
+    """User-facing attention problem spec (reference:
+    AttentionDescriptor.swift:10-27), widened with the batch/multi-head/GQA
+    dispatch the reference leaves to the client (reference is single-head:
+    README.md:7).
+    """
+
+    batch: int
+    num_q_heads: int
+    num_kv_heads: int
+    seq_len_q: int      # R in the reference
+    seq_len_kv: int     # C in the reference
+    head_dim: int       # D in the reference
+    causal: bool = False
+    # softmax scale; None => 1/sqrt(D) folded with log2(e) inside the kernel
+    # (reference folds log2(e)*rsqrt(D) into one multiply,
+    # AttentionKernel+Softmax.swift:17-26)
+    scale: float | None = None
+    logit_soft_cap: float | None = None
+    low_precision_inputs: bool = False
+    low_precision_intermediates: bool = False
+    kv_cache_precision: OperandPrecision | None = None
+
+    def __post_init__(self):
+        if self.num_q_heads % self.num_kv_heads != 0:
+            raise ValueError(
+                f"num_q_heads ({self.num_q_heads}) must be a multiple of "
+                f"num_kv_heads ({self.num_kv_heads})"
+            )
+
+    @property
+    def softmax_scale(self) -> float:
+        return self.scale if self.scale is not None else 1.0 / math.sqrt(self.head_dim)
+
+    def precision_policy(self) -> PrecisionPolicy:
+        return make_precision_policy(
+            self.low_precision_inputs,
+            self.low_precision_intermediates,
+            self.kv_cache_precision,
+        )
+
+    def kernel_descriptor(
+        self,
+        kernel_type: AttentionKernelType,
+        generation: params_mod.TpuGeneration | None = None,
+    ) -> "AttentionKernelDescriptor":
+        """Heuristic: pick the parameter-table row and clamp blocks to the
+        problem (reference: AttentionDescriptor.swift:33-130, incl. the
+        head-block clamp to padded D at :48-53)."""
+        gen = generation or params_mod.detect_generation()
+        rows = params_mod.parameter_table(
+            kernel_type.value, self.low_precision_inputs
+        )
+        row = params_mod.select_row(rows, self.head_dim)
+
+        # Clamp blocks to the (padded) problem dims. Lane dim stays 128-
+        # aligned; sublane tiling handled by Mosaic.
+        block_q = min(row.block_q, _round_up(self.seq_len_q, 128))
+        block_kv = min(row.block_kv, _round_up(self.seq_len_kv, 128))
+        d_padded = _round_up(self.head_dim, 128)
+        # block_d must evenly divide padded D so the in-kernel head-dim loop
+        # takes equal slices: largest multiple of 128 dividing d_padded that
+        # is <= the table's block (128 always qualifies).
+        block_d = min(row.block_d, d_padded)
+        while d_padded % block_d != 0:
+            block_d -= 128
+        block_d = max(block_d, min(128, d_padded))
+
+        policy = self.precision_policy()
+        return AttentionKernelDescriptor(
+            kernel_type=kernel_type,
+            block_q=block_q,
+            block_kv=block_kv,
+            block_d=block_d,
+            head_dim=self.head_dim,
+            causal=self.causal,
+            logit_soft_cap=self.logit_soft_cap,
+            q_precision=policy.mem(AttentionOperand.Q),
+            kv_precision=policy.mem(AttentionOperand.K),
+            o_precision=policy.mem(AttentionOperand.O),
+            vmem_resident=row.vmem_resident,
+            generation=gen.name,
+        )
+
+
+@dataclass(frozen=True)
+class AttentionKernelDescriptor:
+    """Shape-class descriptor = specialization-cache key (reference:
+    AttentionKernelDescriptor.swift:8-49). Hashable and frozen; everything
+    the kernel builder needs, nothing tied to exact sequence lengths."""
+
+    kernel_type: AttentionKernelType
+    block_q: int
+    block_kv: int
+    block_d: int
+    head_dim: int
+    causal: bool
+    logit_soft_cap: float | None
+    q_precision: OperandPrecision
+    kv_precision: OperandPrecision
+    o_precision: OperandPrecision
+    vmem_resident: tuple
+    generation: str
+
+    @property
+    def d_blocked(self) -> bool:
+        """True when the head dim is traversed in blocks (the reference's
+        third block dimension, README.md:13)."""
+        return self.block_d < _round_up(self.head_dim, 128)
+
+
+# ---------------------------------------------------------------------------
+# GEMM descriptors
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GEMMDescriptor:
+    """GEMM problem spec (reference: GEMMDescriptor.swift:11-47).
+
+    Batch and accumulate (``load_previous_c``) carry over; leading-dimension
+    games do not (XLA owns layout). C = A @ B (+C0), with optional
+    transposes applied to the logical operands.
+    """
+
+    m: int
+    n: int
+    k: int
+    a_precision: OperandPrecision = OperandPrecision.FP32
+    b_precision: OperandPrecision = OperandPrecision.FP32
+    c_precision: OperandPrecision = OperandPrecision.FP32
+    transpose_a: bool = False
+    transpose_b: bool = False
+    batch: int = 1
+    load_previous_c: bool = False
+
+    def kernel_descriptor(
+        self, generation: params_mod.TpuGeneration | None = None
+    ) -> "GEMMKernelDescriptor":
+        """Block-size heuristic (reference: GEMMDescriptor.swift:240-322).
+
+        The reference picks 32³ vs 48×48×24/32 from occupancy; the TPU
+        analogue targets the 128×128 MXU with blocks sized so A+B+C tiles
+        (double-buffered) fit a VMEM budget, shrinking for small problems so
+        the grid still covers all cores.
+        """
+        gen = generation or params_mod.detect_generation()
+        in_bytes = max(self.a_precision.bytes, self.b_precision.bytes)
+
+        # Start from the large square block and shrink along each dim to the
+        # problem; keep multiples of the MXU tile.
+        bm = min(512, _round_up(self.m, 128))
+        bn = min(512, _round_up(self.n, 128))
+        bk = min(512, _round_up(self.k, 128))
+        # VMEM: 2*(bm*bk + bk*bn)*in_bytes (double-buffered A/B) + bm*bn*4
+        budget = gen.vmem_bytes * 0.7
+        while bm * bn * 4 + 2 * in_bytes * bk * (bm + bn) > budget:
+            if bk > 128:
+                bk //= 2
+            elif max(bm, bn) > 128:
+                if bm >= bn:
+                    bm //= 2
+                else:
+                    bn //= 2
+            else:
+                break
+        return GEMMKernelDescriptor(
+            block_m=bm,
+            block_n=bn,
+            block_k=bk,
+            a_precision=self.a_precision,
+            b_precision=self.b_precision,
+            c_precision=self.c_precision,
+            transpose_a=self.transpose_a,
+            transpose_b=self.transpose_b,
+            load_previous_c=self.load_previous_c,
+            generation=gen.name,
+        )
+
+
+@dataclass(frozen=True)
+class GEMMKernelDescriptor:
+    """GEMM shape-class descriptor (reference: GEMMKernelDescriptor.swift:21-181).
+
+    Register-precision validation truth table (GEMMKernel.swift:46-103)
+    collapses on TPU to: MXU accumulates FP32; BF16 accumulation is banned
+    exactly as the reference bans BF16 accumulators (:98-103).
+    """
+
+    block_m: int
+    block_n: int
+    block_k: int
+    a_precision: OperandPrecision
+    b_precision: OperandPrecision
+    c_precision: OperandPrecision
+    transpose_a: bool
+    transpose_b: bool
+    load_previous_c: bool
+    generation: str
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def round_up(x: int, m: int) -> int:
+    return _round_up(x, m)

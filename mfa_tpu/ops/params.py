@@ -1,0 +1,250 @@
+"""Kernel parameter tables: the per-(D, dtype, chip-generation) block-size
+heuristics, in the reference's pipe-delimited mini-DSL.
+
+Recast of the reference's "large parameter file"
+(AttentionDescriptor+Parameters.swift:77-286) and its row parser
+(AttentionParameterRow.swift:22-74) for TPU:
+
+- "parallelization block" → ``block_q`` (rows of Q per grid step for
+  forward/dQ; this is the dimension threadgroups parallelize over in the
+  reference, AttentionKernel.swift:207-214)
+- "traversal block"       → ``block_kv`` (columns streamed per inner step)
+- "head block"            → ``block_d`` (the third block dimension, the
+  reference's headline D-blocking feature, README.md:13)
+- "registers-resident operand list" → operands whose full (block, D) slab is
+  held in VMEM across the whole traversal loop rather than re-streamed per
+  d-block (AttentionKernel+Caching.swift:18-281)
+
+Selection rule is identical: first row whose ``max_d`` >= problem D
+(AttentionDescriptor+Parameters.swift:41-66).
+
+Instead of Apple-architecture columns (apple8/apple9), tables are keyed by
+TPU generation, and every row is validated against the generation's VMEM
+budget — the TPU analogue of the reference's occupancy reasoning
+(GEMMKernelDescriptor.swift:87-115).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Chip generation model
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TpuGeneration:
+    """Per-generation hardware constants (the analogue of the reference's
+    device-name parse + core-count query, GEMMDescriptor.swift:133-169,
+    GEMMDescriptor+CoreCount.swift:19-80)."""
+
+    name: str
+    vmem_bytes: int
+    hbm_gbps: float            # HBM bandwidth per chip, GB/s
+    bf16_tflops: float         # MXU peak, bf16 inputs / fp32 accumulate
+    int8_tops: float
+    mxu_tile: tuple = (128, 128)
+
+
+GENERATIONS = {
+    "v4": TpuGeneration("v4", 16 * 2**20, 1228.0, 137.5, 275.0),
+    "v5e": TpuGeneration("v5e", 16 * 2**20, 819.0, 197.0, 394.0),
+    "v5p": TpuGeneration("v5p", 16 * 2**20, 2765.0, 229.0, 459.0),
+    "v6e": TpuGeneration("v6e", 32 * 2**20, 1640.0, 918.0, 1836.0),
+    # CPU interpret/testing fallback behaves like a small v5e.
+    "cpu": TpuGeneration("cpu", 16 * 2**20, 100.0, 1.0, 2.0),
+}
+
+
+def detect_generation() -> TpuGeneration:
+    """Best-effort detection of the local chip generation."""
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return GENERATIONS["cpu"]
+    kind = getattr(dev, "device_kind", "").lower()
+    for key in ("v6e", "v5p", "v5e", "v4"):
+        if key in kind:
+            return GENERATIONS[key]
+    if "v5 lite" in kind or "v5lite" in kind:
+        return GENERATIONS["v5e"]
+    if "v6 lite" in kind or "v6lite" in kind:
+        return GENERATIONS["v6e"]
+    if dev.platform == "tpu" or dev.platform == "axon":
+        return GENERATIONS["v5e"]
+    return GENERATIONS["cpu"]
+
+
+# ---------------------------------------------------------------------------
+# Row model + mini-DSL parser
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ParameterRow:
+    """One row of a parameter table (reference: AttentionParameterRow.swift:8-20).
+
+    ``max_d``: this row applies to head dims <= max_d (0 = unbounded).
+    ``block_q/kv/d``: the three block dimensions.
+    ``vmem_resident``: operand names whose whole (block, D) slab stays in
+    VMEM across the traversal loop.
+    """
+
+    max_d: int
+    block_q: int
+    block_kv: int
+    block_d: int
+    vmem_resident: tuple = field(default_factory=tuple)
+
+
+def parse_table(text: str) -> list[ParameterRow]:
+    """Parse a pipe-delimited table (reference: AttentionParameterRow.swift:22-74).
+
+    Format per line:  max_d | block_q | block_kv | block_d | op1, op2, ...
+    Lines starting with '#' or blank lines are ignored; a 'inf' max_d means
+    unbounded (stored as 0).
+    """
+    rows = []
+    for line in text.strip().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = [p.strip() for p in line.split("|")]
+        if len(parts) not in (4, 5):
+            raise ValueError(f"malformed parameter row: {line!r}")
+        max_d = 0 if parts[0] in ("inf", "-") else int(parts[0])
+        ops = ()
+        if len(parts) == 5 and parts[4]:
+            ops = tuple(o.strip() for o in parts[4].split(",") if o.strip())
+        rows.append(
+            ParameterRow(
+                max_d=max_d,
+                block_q=int(parts[1]),
+                block_kv=int(parts[2]),
+                block_d=int(parts[3]),
+                vmem_resident=ops,
+            )
+        )
+    if not rows:
+        raise ValueError("empty parameter table")
+    if rows[-1].max_d != 0:
+        raise ValueError("last row of a parameter table must be unbounded (max_d=inf)")
+    return rows
+
+
+def select_row(rows: list[ParameterRow], head_dim: int) -> ParameterRow:
+    """First row with head_dim <= max_d (reference:
+    AttentionDescriptor+Parameters.swift:41-66)."""
+    for row in rows:
+        if row.max_d == 0 or head_dim <= row.max_d:
+            return row
+    raise AssertionError("unreachable: last row is unbounded")
+
+
+# ---------------------------------------------------------------------------
+# The tables themselves
+# ---------------------------------------------------------------------------
+# Seed values chosen from VMEM-budget analysis (validated by
+# tests/test_params.py::test_vmem_budget); regenerated by the autotune
+# harness (mfa_tpu/utils/autotune.py) per generation — the TPU analogue of
+# the reference's 4-candidate occupancy search
+# (GEMMDescriptor+PipelineCache.swift:75-119).
+#
+# Rationale: q/kv blocks are multiples of the 128-lane dimension; bf16 wants
+# >=16 sublanes. Larger block_kv amortizes the online-softmax rescale work
+# (the reference's reason for wide traversal blocks, README.md:13); block_q
+# bounds the parallel grid granularity. For D > 256, block_d < D pages the
+# accumulator through VMEM per d-block — the register-spill scheme of
+# AttentionKernel+Accumulate.swift:176-264 recast as VMEM paging.
+
+_FWD_BF16 = """
+# max_d | block_q | block_kv | block_d | vmem-resident
+   64   |   512   |   1024   |   64    | Q, O
+  128   |   512   |    512   |  128    | Q, O
+  256   |   256   |    512   |  256    | Q, O
+  384   |   256   |    256   |  128    | O
+  inf   |   128   |    256   |  128    |
+"""
+
+_FWD_FP32 = """
+   64   |   256   |    512   |   64    | Q, O
+  128   |   256   |    256   |  128    | Q, O
+  256   |   128   |    256   |  256    | Q, O
+  inf   |   128   |    128   |  128    |
+"""
+
+_BWD_Q_BF16 = """
+   64   |   256   |    512   |   64    | Q, dO, dQ
+  128   |   256   |    256   |  128    | Q, dO, dQ
+  256   |   128   |    256   |  256    | Q, dO, dQ
+  inf   |   128   |    128   |  128    |
+"""
+
+_BWD_Q_FP32 = """
+   64   |   128   |    256   |   64    | Q, dO, dQ
+  128   |   128   |    256   |  128    | Q, dO, dQ
+  inf   |   128   |    128   |  128    |
+"""
+
+_BWD_KV_BF16 = """
+   64   |   256   |    512   |   64    | K, V, dK, dV
+  128   |   256   |    256   |  128    | K, V, dK, dV
+  256   |   128   |    256   |  256    | K, V, dK, dV
+  inf   |   128   |    128   |  128    |
+"""
+
+_BWD_KV_FP32 = """
+   64   |   128   |    256   |   64    | K, V, dK, dV
+  128   |   128   |    256   |  128    | K, V, dK, dV
+  inf   |   128   |    128   |  128    |
+"""
+
+_TABLES = {
+    ("forward", "bf16"): _FWD_BF16,
+    ("forward", "fp32"): _FWD_FP32,
+    ("backward_query", "bf16"): _BWD_Q_BF16,
+    ("backward_query", "fp32"): _BWD_Q_FP32,
+    ("backward_key_value", "bf16"): _BWD_KV_BF16,
+    ("backward_key_value", "fp32"): _BWD_KV_FP32,
+}
+
+_PARSED: dict = {}
+
+
+def parameter_table(kernel_type: str, low_precision: bool) -> list[ParameterRow]:
+    """Pick the table for (kernel type, precision class) — reference:
+    AttentionDescriptor+Parameters.swift:13-39."""
+    key = (kernel_type, "bf16" if low_precision else "fp32")
+    if key not in _PARSED:
+        _PARSED[key] = parse_table(_TABLES[key])
+    return _PARSED[key]
+
+
+def vmem_bytes_estimate(
+    row: ParameterRow,
+    head_dim: int,
+    in_bytes: float,
+    kernel_type: str = "forward",
+) -> int:
+    """Rough VMEM footprint of one grid step for budget validation — the
+    analogue of threadgroupMemoryAllocation (AttentionKernel.swift:272-363).
+
+    Counts double-buffered streamed operands (Pallas pipelines use 2 slots),
+    resident slabs, and the S/P scratch of one (block_q, block_kv) tile.
+    """
+    d = min(head_dim, row.block_d) if row.block_d else head_dim
+    bq, bkv = row.block_q, row.block_kv
+    acc = 4  # fp32 accumulator bytes
+    # Streamed K and V blocks, double buffered:
+    streamed = 2 * 2 * (bkv * d * in_bytes)
+    # Resident Q/O (fwd) or equivalents: q block + accumulator
+    resident = bq * d * in_bytes + bq * head_dim * acc
+    # S/P tile + m/l rows:
+    tile = bq * bkv * acc * 2 + 2 * bq * acc
+    if kernel_type != "forward":
+        # backward holds more slabs (dO or K/V + two accumulators)
+        resident += bq * d * in_bytes + bq * head_dim * acc
+    return int(streamed + resident + tile)

@@ -1,0 +1,132 @@
+"""Roofline accounting: the reference's gigainstruction model on TPU.
+
+The reference measures attention throughput as GINSTRS/s where work is
+(2D+5)·N² for forward, (3D+5)·N² for dQ, (4D+5)·N² for dK/dV
+(README.md:41-46,104-133) and one "instruction" is one FMA-class op on one
+element (GINSTRS = GFLOPS/2, README.md:126-128).
+
+Here the same cost model feeds a TPU roofline: utilization = achieved
+FLOP/s ÷ min(MXU peak, HBM-bandwidth bound), per chip generation
+(mfa_tpu/ops/params.py GENERATIONS). Decode adds a bandwidth-dominated
+regime where the bound is KV-cache bytes/s, not FLOPs.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+
+from mfa_tpu.ops.params import TpuGeneration, detect_generation
+
+
+def attention_instrs(kernel_type: str, seq_len_q: int, seq_len_kv: int,
+                     head_dim: int, batch_heads: int = 1,
+                     causal: bool = False) -> float:
+    """Instruction count per the reference cost model (README.md:108-124).
+
+    forward (2D+5)·R·C; backward_query (3D+5)·R·C; backward_key_value
+    (4D+5)·R·C; full train step (9D+15)·R·C. Causal halves the live area.
+    """
+    per_cell = {
+        "forward": 2 * head_dim + 5,
+        "backward_query": 3 * head_dim + 5,
+        "backward_key_value": 4 * head_dim + 5,
+        "train": 9 * head_dim + 15,
+    }[kernel_type]
+    area = seq_len_q * seq_len_kv
+    if causal:
+        area = area / 2
+    return per_cell * area * batch_heads
+
+
+def attention_flops(kernel_type: str, seq_len_q: int, seq_len_kv: int,
+                    head_dim: int, batch_heads: int = 1,
+                    causal: bool = False) -> float:
+    """FLOPs = 2 × instructions (FMA = 2 FLOPs), the reference's GFLOPS
+    convention (README.md:126-128)."""
+    return 2.0 * attention_instrs(
+        kernel_type, seq_len_q, seq_len_kv, head_dim, batch_heads, causal
+    )
+
+
+@dataclass
+class BenchResult:
+    name: str
+    latency_s: float          # best-of-k (the reference uses best-of-5×5,
+                              # SquareAttentionTest.swift:734-761)
+    flops: float
+    bytes_accessed: float
+    generation: TpuGeneration
+
+    @property
+    def tflops(self) -> float:
+        return self.flops / self.latency_s / 1e12
+
+    @property
+    def ginstrs(self) -> float:
+        return self.flops / 2 / self.latency_s / 1e9
+
+    @property
+    def hbm_gbps(self) -> float:
+        return self.bytes_accessed / self.latency_s / 1e9
+
+    @property
+    def compute_bound_utilization(self) -> float:
+        return self.tflops / self.generation.bf16_tflops
+
+    @property
+    def roofline_utilization(self) -> float:
+        """Achieved ÷ speed-of-light, where the light-speed latency is
+        max(FLOP-bound time, bandwidth-bound time)."""
+        t_flops = self.flops / (self.generation.bf16_tflops * 1e12)
+        t_bytes = self.bytes_accessed / (self.generation.hbm_gbps * 1e9)
+        sol = max(t_flops, t_bytes)
+        return sol / self.latency_s
+
+
+def _sync(out):
+    """Force real device completion. ``block_until_ready`` is not a true
+    barrier through the remote-tunnel backend (it acks at enqueue), so pull
+    one element back to the host — the D2H copy cannot complete before the
+    computation does."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    import numpy as _np
+
+    _np.asarray(leaf.reshape(-1)[:1])
+
+
+def measure(fn, args, flops: float, bytes_accessed: float,
+            name: str = "kernel", iters: int = 5,
+            inner_small: int = 2, inner_big: int = 12,
+            generation: TpuGeneration | None = None) -> BenchResult:
+    """Differential best-of-(iters) timing.
+
+    The reference uses best-of-5×5 wall-clock dispatches
+    (SquareAttentionTest.swift:734-761). Over the remote tunnel each sync
+    carries a large fixed cost, so we time two batch sizes of back-to-back
+    dispatches and take the slope: t_kernel = (t_big − t_small) / Δn.
+    """
+    gen = generation or detect_generation()
+    out = fn(*args)
+    _sync(out)  # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(iters):
+        t_small = run(inner_small)
+        t_big = run(inner_big)
+        dt = (t_big - t_small) / (inner_big - inner_small)
+        if dt > 0:
+            best = min(best, dt)
+    return BenchResult(
+        name=name, latency_s=best, flops=flops,
+        bytes_accessed=bytes_accessed, generation=gen,
+    )

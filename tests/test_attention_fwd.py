@@ -1,0 +1,89 @@
+"""Forward flash-attention kernel vs oracle.
+
+The reference's correctness sweep (SquareAttentionTest.swift:5-26) uses
+hand-picked adversarial (N, D) pairs incl. tiny, odd, and alignment-edge
+sizes; RectangularAttentionTest randomizes R != C. Carried over here with
+CPU-interpret Pallas kernels against the pure-jnp oracle.
+"""
+
+import jax.numpy as jnp
+import pytest
+
+from mfa_tpu.ops.attention import flash_attention
+from mfa_tpu.ops.reference import attention_reference
+from mfa_tpu.utils.testing import assert_close, make_attention_inputs
+
+# Adversarial (R, C, D) picks, mirroring SquareAttentionTest.swift:5-26
+# (tiny 4x1, odd 777x199 / 99x35, block-edge straddles) scaled to what CPU
+# interpret mode can afford.
+SHAPES = [
+    (4, 4, 1),
+    (99, 35, 35),
+    (128, 128, 64),
+    (129, 257, 64),      # one past block edges
+    (256, 193, 80),      # odd D, R != C
+    (77, 511, 16),
+    (384, 384, 160),     # D just past 128 → d-blocked path
+]
+
+
+@pytest.mark.parametrize("r,c,d", SHAPES)
+def test_fwd_fp32(rng, r, c, d):
+    q, k, v, _ = make_attention_inputs(rng, 1, 1, 1, r, c, d)
+    o = flash_attention(q, k, v)
+    want, _ = attention_reference(q, k, v)
+    assert_close(o, want, 2e-5, f"O fp32 ({r},{c},{d})")
+
+
+@pytest.mark.parametrize("r,c,d", [(128, 128, 64), (129, 257, 64)])
+def test_fwd_causal(rng, r, c, d):
+    q, k, v, _ = make_attention_inputs(rng, 1, 2, 2, r, c, d)
+    o = flash_attention(q, k, v, causal=True)
+    want, _ = attention_reference(q, k, v, causal=True)
+    assert_close(o, want, 2e-5, f"O causal ({r},{c},{d})")
+
+
+def test_fwd_bf16(rng):
+    q, k, v, _ = make_attention_inputs(rng, 1, 2, 2, 192, 192, 64,
+                                       dtype=jnp.bfloat16)
+    o = flash_attention(q, k, v)
+    want, _ = attention_reference(q, k, v)
+    # Mixed-precision budget (SquareAttentionTest.swift:539-554): <= 5e-2.
+    assert_close(o, want, 5e-2, "O bf16")
+
+
+def test_fwd_gqa(rng):
+    q, k, v, _ = make_attention_inputs(rng, 2, 4, 2, 64, 96, 32)
+    o = flash_attention(q, k, v)
+    want, _ = attention_reference(q, k, v)
+    assert_close(o, want, 2e-5, "O GQA")
+
+
+def test_fwd_lse(rng):
+    q, k, v, _ = make_attention_inputs(rng, 1, 1, 1, 100, 120, 32)
+    o, lse = flash_attention(q, k, v, with_lse=True)
+    want_o, want_lse = attention_reference(q, k, v)
+    assert_close(o, want_o, 2e-5, "O")
+    assert_close(lse, want_lse, 1e-4, "L")
+
+
+def test_fwd_soft_cap(rng):
+    q, k, v, _ = make_attention_inputs(rng, 1, 1, 1, 64, 64, 32)
+    o = flash_attention(q, k, v, logit_soft_cap=10.0)
+    want, _ = attention_reference(q, k, v, logit_soft_cap=10.0)
+    assert_close(o, want, 3e-5, "O softcap")
+
+
+def test_fwd_scale_override(rng):
+    q, k, v, _ = make_attention_inputs(rng, 1, 1, 1, 64, 64, 32)
+    o = flash_attention(q, k, v, scale=0.25)
+    want, _ = attention_reference(q, k, v, scale=0.25)
+    assert_close(o, want, 2e-5, "O scaled")
+
+
+def test_fwd_causal_short_query(rng):
+    """R < C: causal diagonal aligned to sequence ends (decode-style)."""
+    q, k, v, _ = make_attention_inputs(rng, 1, 1, 1, 32, 256, 32)
+    o = flash_attention(q, k, v, causal=True)
+    want, _ = attention_reference(q, k, v, causal=True)
+    assert_close(o, want, 2e-5, "O causal R<C")

@@ -1,0 +1,94 @@
+"""GEMM kernel vs jnp oracle.
+
+Mirrors the reference's GEMM tests: LaplacianTest's 38 block-boundary sizes
+x 3 transpose states (LaplacianTest.swift:6-41) and AdversarialShapeTest's
+randomized fuzz (random shapes/precisions/transposes/loadPreviousC,
+AdversarialShapeTest.swift:12-66), shrunk to CPU-interpret scale."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfa_tpu.ops.gemm import gemm
+from mfa_tpu.utils.testing import assert_close
+
+
+def _oracle(a, b, c0=None, ta=False, tb=False):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    if ta:
+        a = np.swapaxes(a, -1, -2)
+    if tb:
+        b = np.swapaxes(b, -1, -2)
+    c = a @ b
+    if c0 is not None:
+        c = c + np.asarray(c0, np.float32)
+    return c
+
+
+# Block-boundary straddling sizes (LaplacianTest.swift:6-41 straddles 7..153
+# around its 32/48 blocks; our blocks are 128-multiples).
+SIZES = [7, 64, 127, 128, 129, 200]
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_square(rng, n):
+    a = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    assert_close(gemm(a, b), _oracle(a, b), 1e-4 * max(1, n / 64), f"C {n}^2")
+
+
+@pytest.mark.parametrize("ta", [False, True])
+@pytest.mark.parametrize("tb", [False, True])
+def test_transpose_states(rng, ta, tb):
+    m, k, n = 65, 130, 33
+    a_shape = (k, m) if ta else (m, k)
+    b_shape = (n, k) if tb else (k, n)
+    a = jnp.asarray(rng.standard_normal(a_shape), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(b_shape), jnp.float32)
+    got = gemm(a, b, transpose_a=ta, transpose_b=tb)
+    assert_close(got, _oracle(a, b, ta=ta, tb=tb), 5e-4, f"C T{ta}{tb}")
+
+
+def test_accumulate(rng):
+    """load_previous_C path (GEMMDescriptor.swift:42-47)."""
+    m, k, n = 40, 50, 60
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    c0 = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    got = gemm(a, b, c0)
+    assert_close(got, _oracle(a, b, c0), 5e-4, "C +=")
+
+
+def test_batched(rng):
+    a = jnp.asarray(rng.standard_normal((3, 17, 29)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3, 29, 23)), jnp.float32)
+    assert_close(gemm(a, b), _oracle(a, b), 5e-4, "C batched")
+
+
+def test_bf16(rng):
+    m = 96
+    a = jnp.asarray(rng.standard_normal((m, m)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((m, m)), jnp.bfloat16)
+    got = gemm(a, b, out_dtype=jnp.float32)
+    assert_close(got, _oracle(a, b), 0.5, "C bf16")
+
+
+def test_fuzz(rng):
+    """Random shapes with small-size bias (cubed-uniform like
+    AdversarialShapeTest.swift:12-66), random transposes, random accumulate."""
+    for _ in range(6):
+        m, n, k = (int(rng.uniform(0, 1) ** 3 * 200) + 1 for _ in range(3))
+        ta, tb = bool(rng.integers(2)), bool(rng.integers(2))
+        acc = bool(rng.integers(2))
+        a = jnp.asarray(
+            rng.standard_normal((k, m) if ta else (m, k)), jnp.float32)
+        b = jnp.asarray(
+            rng.standard_normal((n, k) if tb else (k, n)), jnp.float32)
+        c0 = (jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+              if acc else None)
+        got = gemm(a, b, c0, transpose_a=ta, transpose_b=tb)
+        assert_close(
+            got, _oracle(a, b, c0, ta, tb), 1e-3,
+            f"fuzz m={m} n={n} k={k} ta={ta} tb={tb} acc={acc}",
+        )
