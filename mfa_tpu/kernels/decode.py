@@ -1,0 +1,182 @@
+"""GQA decode attention kernel with fused KV-cache dequantization.
+
+The decode-path extension the north star requires (BASELINE.json): one new
+query token per sequence attends over a (possibly quantized) KV cache.
+
+Design notes:
+- Decode is HBM-bandwidth-bound: the whole KV cache streams through VMEM
+  once per step while the MXU multiplies a tiny (group, D) query slab.
+  INT8/FP8 storage halves the bytes — that IS the speedup; dequant runs on
+  the VPU inside the DMA/compute overlap window (SURVEY.md §7 hard part 3),
+  never round-tripping dequantized data through HBM.
+- GQA: the query-head group (Hq/Hkv rows) forms the matmul's row block, so
+  one KV stream serves all of its query heads (the reference is single-head,
+  README.md:7; this is the TPU-idiomatic generalization).
+- Per-sequence lengths arrive via scalar prefetch (SMEM); blocks past the
+  length are predicated off, and the crossing block masks with the
+  large-finite sentinel (AttentionKernel+Softmax.swift:228-260).
+- Online-softmax state (m, l) carries across KV blocks exactly like the
+  forward kernel — decode is the traversal loop with a 1-row parallel dim.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mfa_tpu.kernels.flash_fwd import LOG2E, MASK_VALUE, _cdiv
+
+
+def _decode_kernel(
+    # scalar prefetch
+    lengths_ref,
+    # inputs
+    q_ref, k_ref, v_ref, ks_ref, vs_ref,
+    # outputs
+    o_ref,
+    # scratch
+    m_scr, l_scr, acc_scr,
+    *,
+    num_kv_heads: int,
+    block_kv: int,
+    quantized: bool,
+    compute_dtype,
+):
+    bh = pl.program_id(0)
+    j = pl.program_id(1)
+    b = bh // num_kv_heads
+    length = lengths_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(j * block_kv < length)
+    def _body():
+        q = q_ref[0]                                   # (group, d), prescaled
+        k = k_ref[0]                                   # (bkv, d) storage dtype
+        if quantized:
+            k = (k.astype(jnp.float32) * ks_ref[0]).astype(compute_dtype)
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (group, bkv)
+
+        # Mask only the block the length boundary crosses.
+        crossing = (j + 1) * block_kv > length
+
+        def apply_mask(s):
+            col = j * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1)
+            return jnp.where(col < length, s, MASK_VALUE)
+
+        s = jax.lax.cond(crossing, apply_mask, lambda s: s, s)
+
+        m_prev = m_scr[...]                            # (group, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        l_scr[...] = corr * l_scr[...] + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_new
+
+        v = v_ref[0]
+        if quantized:
+            v = (v.astype(jnp.float32) * vs_ref[0]).astype(compute_dtype)
+        pv = jax.lax.dot_general(
+            p.astype(compute_dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * corr + pv
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finalize():
+        l_safe = jnp.maximum(l_scr[...], 1e-37)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
+def build_decode(
+    *,
+    batch: int,
+    num_kv_heads: int,
+    group: int,
+    max_len: int,
+    d_pad: int,
+    block_kv: int,
+    kv_dtype,
+    q_dtype,
+    o_dtype,
+    quantized: bool,
+    interpret: bool = False,
+):
+    """Decode attention over a contiguous (optionally quantized) KV cache.
+
+    Operands:
+      lengths  [batch] int32                      (scalar prefetch)
+      q        [B*Hkv, group, d_pad]              (pre-scaled by scale·log2e)
+      k, v     [B*Hkv, max_len, d_pad]            storage dtype
+      k_s, v_s [B*Hkv, max_len, 1] f32            (quantized only; pass
+                                                   dummies otherwise)
+    Returns o [B*Hkv, group, d_pad] in o_dtype.
+    """
+    bh = batch * num_kv_heads
+    num_kv_blocks = _cdiv(max_len, block_kv)
+    compute_dtype = jnp.bfloat16 if jnp.dtype(q_dtype) == jnp.bfloat16 else jnp.float32
+
+    kernel = functools.partial(
+        _decode_kernel,
+        num_kv_heads=num_kv_heads,
+        block_kv=block_kv,
+        quantized=quantized,
+        compute_dtype=compute_dtype,
+    )
+
+    # PrefetchScalarGridSpec index maps receive the scalar-prefetch refs as
+    # a trailing argument.
+    def head_map(bh_, j, lengths_ref):
+        return (bh_, 0, 0)
+
+    def kv_map(bh_, j, lengths_ref):
+        return (bh_, j, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, group, d_pad), head_map),      # q
+            pl.BlockSpec((1, block_kv, d_pad), kv_map),     # k
+            pl.BlockSpec((1, block_kv, d_pad), kv_map),     # v
+            pl.BlockSpec((1, block_kv, 1), kv_map),         # k scales
+            pl.BlockSpec((1, block_kv, 1), kv_map),         # v scales
+        ],
+        out_specs=pl.BlockSpec((1, group, d_pad), head_map),
+        scratch_shapes=[
+            pltpu.VMEM((group, 1), jnp.float32),            # m
+            pltpu.VMEM((group, 1), jnp.float32),            # l
+            pltpu.VMEM((group, d_pad), jnp.float32),        # acc
+        ],
+    )
+
+    kv_bytes = jnp.dtype(kv_dtype).itemsize
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, group, d_pad), o_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * group * max_len * d_pad,
+            bytes_accessed=2 * bh * max_len * d_pad * kv_bytes,
+            transcendentals=bh * group * max_len,
+        ),
+        interpret=interpret,
+    )

@@ -64,7 +64,8 @@ def _fwd_kernel(
     # FP32 inputs need full-precision MXU passes (TPU fp32 matmul
     # defaults to one bf16 pass, ~1e-1 error at K~128 — the FP32 error
     # budget is 2e-5, so request HIGHEST).
-    _prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+    fp32_in = q_ref.dtype == jnp.float32
+    _prec = (jax.lax.Precision.HIGHEST if fp32_in
              else jax.lax.Precision.DEFAULT)
     scale2 = scale * LOG2E        # folded log2(e)·scale, one multiply
 
@@ -76,53 +77,98 @@ def _fwd_kernel(
 
     # Causal block skip: block (i, j) is fully masked when its lowest query
     # row sees none of its columns. diag offset aligns causal mask to the
-    # sequence ends (query r attends keys <= r + C - R).
+    # sequence ends (query r attends keys <= r + (C - R)).
+    offset = seq_len_kv - seq_len_q
     if kd.causal:
-        offset = seq_len_kv - seq_len_q
         block_live = j * bkv <= (i + 1) * bq - 1 + offset
     else:
         block_live = True
 
+    # Static mask classification: the column-edge mask only matters in the
+    # last kv block (and only when C is unaligned); the causal mask only
+    # matters in blocks the diagonal crosses. Interior blocks skip ALL mask
+    # work — the VPU cost per S element is the throughput ceiling of this
+    # kernel (MXU:VPU op-rate ratio ~100:1 on v5e, so every elementwise op
+    # on S costs ~D/100 of a matmul).
+    col_edge_exists = seq_len_kv % bkv != 0
+
+    def build_mask():
+        m = None
+        if col_edge_exists:
+            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            m = col < seq_len_kv
+        if kd.causal:
+            row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            cm = col <= row + offset
+            m = cm if m is None else (m & cm)
+        return m
+
+    if kd.causal:
+        # Diagonal crosses block (i, j) unless the block's last column is
+        # visible from its first row.
+        block_needs_mask = (j + 1) * bkv - 1 > i * bq + offset
+        if col_edge_exists:
+            block_needs_mask |= j == num_kv_blocks - 1
+    elif col_edge_exists:
+        block_needs_mask = j == num_kv_blocks - 1
+    else:
+        block_needs_mask = None   # statically never
+
     @pl.when(block_live)
     def _body():
-        q = q_ref[0]                       # (bq, d_pad)
-        k = k_ref[0]                       # (bkv, d_pad)
+        # Pre-scale Q once per (bq, d) block — folds the softmax scale and
+        # log2(e) into the operand (AttentionKernel+Softmax.swift:17-26),
+        # saving one VPU op per S element. bf16 rounding of Q·scale is well
+        # inside the 5e-2 mixed budget; the fp32 path scales S instead to
+        # preserve the 2e-5 budget.
+        if fp32_in:
+            q = q_ref[0]
+        else:
+            q = (q_ref[0].astype(jnp.float32) * scale2).astype(q_ref.dtype)
+        k = k_ref[0]
 
         # --- S = Q K^T, accumulated over head-dim blocks (D-blocking) ---
         nd = max(1, d_pad // kd.block_d)
-        s = jnp.zeros((bq, bkv), jnp.float32)
-        for db in range(nd):
+
+        def qk(db):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            s += jax.lax.dot_general(
+            return jax.lax.dot_general(
                 q[:, sl], k[:, sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_prec,
             )
-        s *= scale2                        # base-2 domain from here on
+
+        s = qk(0)
+        for db in range(1, nd):
+            s += qk(db)
+        if fp32_in:
+            s *= scale2                    # base-2 domain from here on
 
         if kd.logit_soft_cap is not None:
             cap2 = kd.logit_soft_cap * LOG2E
             s = cap2 * jnp.tanh(s / cap2)
 
-        # --- masking (edge + causal), large-finite sentinel ---
-        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
-        mask = col < seq_len_kv
-        if kd.causal:
-            row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-            mask &= col <= row + (seq_len_kv - seq_len_q)
-        s = jnp.where(mask, s, MASK_VALUE)
+        # --- masking (edge + causal), large-finite sentinel. Scalar-
+        # predicated branch: only blocks the mask can bite pay for it. ---
+        if block_needs_mask is not None:
+            s = jax.lax.cond(
+                block_needs_mask,
+                lambda s: jnp.where(build_mask(), s, MASK_VALUE),
+                lambda s: s,
+                s,
+            )
 
-        # --- online softmax update (AttentionKernel+Softmax.swift:267-324) ---
-        m_prev = m_scr[...]                # (bq, LANES), row-replicated
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)           # (bq, 1)
-        m_new = jnp.maximum(m_prev, m_cur)                   # (bq, LANES)
-        corr = jnp.exp2(m_prev - m_new)                      # O-correction
-        p = jnp.exp2(s - m_new[:, :1])                       # (bq, bkv)
-        l_new = corr * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        # --- online softmax update (AttentionKernel+Softmax.swift:267-324).
+        # m/l live as (bq, 1) columns: state ops touch bq elements, not
+        # bq×128 replicated lanes. ---
+        m_prev = m_scr[...]                                  # (bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp2(m_prev - m_new)                      # (bq, 1)
+        p = jnp.exp2(s - m_new)                              # (bq, bkv)
+        l_scr[...] = corr * l_scr[...] + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_new
-        l_scr[...] = l_new
 
         # --- O accumulation: acc = acc*corr + P V, paged over d blocks ---
         p_cast = p.astype(v_ref.dtype if kd.kv_precision.bits <= 16 else jnp.float32)
@@ -135,18 +181,18 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=_prec,
             )
-            acc_scr[:, sl] = acc_scr[:, sl] * corr[:, :1] + pv
+            acc_scr[:, sl] = acc_scr[:, sl] * corr + pv
 
     @pl.when(j == num_kv_blocks - 1)
     def _finalize():
-        l_safe = jnp.maximum(l_scr[...], 1e-37)              # (bq, LANES)
-        o_ref[0] = (acc_scr[...] / l_safe[:, :1]).astype(o_ref.dtype)
-        # L = natural-log logsumexp = (m + log2 l) · ln2. Stored
-        # lane-replicated (bq, LANES) — the layout Mosaic wants for
-        # row-vector outputs, and it reads back as a (bq, 1) column with
-        # no relayout in the backward kernels.
+        l_safe = jnp.maximum(l_scr[...], 1e-37)              # (bq, 1)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        # L = natural-log logsumexp = (m + log2 l) · ln2, broadcast to the
+        # lane-replicated (bq, LANES) output layout Mosaic wants for row
+        # vectors (reads back as a (bq, 1) column with no relayout in the
+        # backward kernels). The folded scale2 already sits inside m.
         lse2 = m_scr[...] + jnp.log2(l_safe)                 # base-2 lse
-        l_ref[0] = lse2 * (1.0 / LOG2E)
+        l_ref[0] = jnp.broadcast_to(lse2 * (1.0 / LOG2E), l_ref.shape[1:])
 
 
 def build_fwd(
@@ -218,8 +264,8 @@ def build_fwd(
             jax.ShapeDtypeStruct((batch_heads, r_pad, LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, LANES), jnp.float32),   # m
-            pltpu.VMEM((bq, LANES), jnp.float32),   # l
+            pltpu.VMEM((bq, 1), jnp.float32),       # m (column state)
+            pltpu.VMEM((bq, 1), jnp.float32),       # l (column state)
             pltpu.VMEM((bq, d_pad), jnp.float32),   # O accumulator
         ],
         compiler_params=pltpu.CompilerParams(

@@ -1,0 +1,83 @@
+"""Quantization primitives: INT8/FP8/INT4 with scales.
+
+The reference documents quantized operand formats as the intended extension
+of its precision enum (GEMMOperandPrecision.swift:12-28 sketches INT8/FP8/
+palletized); the north star requires them implemented: INT8/FP8 KV cache
+with dequant fused into the attention matmuls and INT4/INT8 weight-only
+projections (BASELINE.json).
+
+Conventions:
+- Per-token (row) scales for activations/KV: scale over the trailing
+  feature axis, stored as [..., 1] so Mosaic block rules are satisfied.
+- Per-output-channel scales for weights: scale over the input axis.
+- INT4 packs two nibbles per int8 byte along the LAST axis (even index →
+  low nibble), so a [n, k] int4 weight stores as [n, k//2] int8.
+- FP8: e4m3 for values (range ±448), e5m2 reserved for gradients — on
+  v5e the MXU is bf16-native, so fp8 is a *storage* format dequantized on
+  the VPU inside kernels (half the KV HBM traffic, which is the decode
+  bottleneck); on v6e the MXU can consume it directly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INT8_MAX = 127.0
+FP8_E4M3_MAX = 448.0
+INT4_MAX = 7.0
+
+
+def quantize_int8(x, axis: int = -1):
+    """Symmetric per-row int8 quantization.
+
+    Returns (values int8, scales f32 with ``axis`` kept as size 1):
+    x ≈ values * scales.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / INT8_MAX
+    q = jnp.clip(jnp.round(xf / scale), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_fp8(x, axis: int = -1, dtype=jnp.float8_e4m3fn):
+    """Scaled fp8-e4m3 storage: x ≈ values.astype(f32) * scales."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / FP8_E4M3_MAX
+    q = (xf / scale).astype(dtype)
+    return q, scale
+
+
+def dequantize(values, scales, dtype=jnp.float32):
+    return values.astype(jnp.float32).__mul__(scales).astype(dtype)
+
+
+def quantize_int4(x, axis: int = -1):
+    """Symmetric int4; returns (packed int8 [..., k/2], scales).
+
+    Packing is along the last axis regardless of ``axis`` (the scale axis):
+    value i sits in nibble i%2 of byte i//2.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / INT4_MAX
+    q = jnp.clip(jnp.round(xf / scale), -INT4_MAX, INT4_MAX).astype(jnp.int8)
+    if q.shape[-1] % 2 != 0:
+        raise ValueError(f"int4 packing needs even last dim, got {q.shape}")
+    lo = q[..., 0::2] & 0x0F
+    hi = (q[..., 1::2] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8), scale
+
+
+def unpack_int4(packed):
+    """[..., k/2] int8 → [..., k] int8 in [-7, 7]."""
+    lo = (packed << 4).astype(jnp.int8) >> 4          # sign-extend low nibble
+    hi = packed >> 4                                   # arithmetic shift
+    out = jnp.stack([lo, hi], axis=-1)
+    return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+
+
+def dequantize_int4(packed, scales, dtype=jnp.float32):
+    return (unpack_int4(packed).astype(jnp.float32) * scales).astype(dtype)

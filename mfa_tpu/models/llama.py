@@ -1,0 +1,282 @@
+"""Llama-family model: functional JAX implementation over the kernel stack.
+
+The model layer the reference does not have (it stops at kernels,
+SURVEY.md §1: "no scheduler, communication, model, or CLI layer") but the
+north star requires (Llama-3-8B decode, BASELINE.json).
+
+Design:
+- Pure-functional: params are a nested dict pytree; every step is jittable.
+- Prefill/training attention = the flash kernels (ops/attention.py, causal);
+  decode attention = the fused-dequant KV-cache kernel (ops/decode.py).
+- Projections support weight-only INT8/INT4 (per-output-channel scales,
+  dequant fused by XLA into the matmul epilogue) — BASELINE.json config 5.
+- Rotary embeddings in fp32 for phase accuracy, applied pre-attention.
+- All matmuls bf16 with fp32 accumulation (MXU-native), RMSNorm in fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mfa_tpu.kernels import quant
+from mfa_tpu.ops.attention import flash_attention
+from mfa_tpu.ops.decode import decode_attention
+from mfa_tpu.ops.precision import OperandPrecision
+from mfa_tpu.serving import kv_cache as kv_cache_mod
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    ffn_hidden: int = 14336
+    rope_theta: float = 500000.0
+    norm_eps: float = 1e-5
+    tie_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @classmethod
+    def llama3_8b(cls) -> "LlamaConfig":
+        return cls()
+
+    @classmethod
+    def llama3_1b_proxy(cls) -> "LlamaConfig":
+        """~1B-scale config for single-chip experiments."""
+        return cls(dim=2048, n_layers=16, n_heads=32, n_kv_heads=8,
+                   ffn_hidden=8192)
+
+    @classmethod
+    def tiny(cls) -> "LlamaConfig":
+        """CPU-test scale."""
+        return cls(vocab_size=256, dim=128, n_layers=2, n_heads=4,
+                   n_kv_heads=2, ffn_hidden=256, rope_theta=10000.0)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(key, cfg: LlamaConfig, dtype=jnp.bfloat16):
+    """Random-init parameter pytree (shape-compatible with Llama-3 weights)."""
+    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
+
+    def dense(k, d_in, d_out):
+        w = jax.random.normal(k, (d_in, d_out), jnp.float32)
+        return (w / math.sqrt(d_in)).astype(dtype)
+
+    params = {
+        "embed": jax.random.normal(
+            next(keys), (cfg.vocab_size, cfg.dim), jnp.float32
+        ).astype(dtype) * 0.02,
+        "final_norm": jnp.ones((cfg.dim,), jnp.float32),
+        "layers": [],
+    }
+    hd = cfg.head_dim
+    for _ in range(cfg.n_layers):
+        params["layers"].append({
+            "attn_norm": jnp.ones((cfg.dim,), jnp.float32),
+            "wq": dense(next(keys), cfg.dim, cfg.n_heads * hd),
+            "wk": dense(next(keys), cfg.dim, cfg.n_kv_heads * hd),
+            "wv": dense(next(keys), cfg.dim, cfg.n_kv_heads * hd),
+            "wo": dense(next(keys), cfg.n_heads * hd, cfg.dim),
+            "mlp_norm": jnp.ones((cfg.dim,), jnp.float32),
+            "w_gate": dense(next(keys), cfg.dim, cfg.ffn_hidden),
+            "w_up": dense(next(keys), cfg.dim, cfg.ffn_hidden),
+            "w_down": dense(next(keys), cfg.ffn_hidden, cfg.dim),
+        })
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(next(keys), cfg.dim, cfg.vocab_size)
+    return params
+
+
+_QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_params(params, precision: OperandPrecision):
+    """Weight-only quantization of every projection (INT8 or INT4),
+    per-output-channel scales over the input axis. Embedding/lm_head stay
+    high precision (accuracy-critical, small share of 8B weight bytes)."""
+    if precision not in (OperandPrecision.INT8, OperandPrecision.INT4):
+        raise ValueError(f"unsupported weight precision {precision}")
+
+    def q(w):
+        wf = w.astype(jnp.float32)
+        if precision is OperandPrecision.INT8:
+            vals, scale = quant.quantize_int8(wf.T, axis=-1)
+            # store transposed back: vals [out, in] → [in, out]
+            return {"kind": "int8", "w": vals.T, "scale": scale.T}
+        vals, scale = quant.quantize_int4(wf.T, axis=-1)
+        return {"kind": "int4", "w": vals, "scale": scale}  # [out, in/2]
+
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        nl = dict(layer)
+        for name in _QUANTIZABLE:
+            nl[name] = q(layer[name])
+        out["layers"].append(nl)
+    return out
+
+
+def _matmul(x, w, dtype):
+    """x @ w with transparent weight-only dequant.
+
+    Quantized forms store per-output-channel scales; XLA fuses the scale
+    multiply into the matmul epilogue, so the dequantized weight never hits
+    HBM (the weight-only analogue of the KV dequant fusion)."""
+    if isinstance(w, dict):
+        if w["kind"] == "int8":
+            y = jnp.dot(x, w["w"].astype(dtype),
+                        preferred_element_type=jnp.float32)
+            return (y * w["scale"].astype(jnp.float32)).astype(dtype)
+        if w["kind"] == "int4":
+            wt = quant.unpack_int4(w["w"]).astype(jnp.float32) * w["scale"]
+            return jnp.dot(x, wt.T.astype(dtype),
+                           preferred_element_type=jnp.float32).astype(dtype)
+        raise ValueError(w["kind"])
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x, weight, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
+
+
+def rope_frequencies(cfg: LlamaConfig):
+    hd = cfg.head_dim
+    return 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+
+
+def apply_rope(x, positions, inv_freq):
+    """x: [B, H, T, D]; positions: [B, T] (absolute). fp32 phases."""
+    angles = positions[:, None, :, None].astype(jnp.float32) * inv_freq  # B,1,T,D/2
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _project_qkv(layer, x, cfg, dtype):
+    b, t, _ = x.shape
+    hd = cfg.head_dim
+    q = _matmul(x, layer["wq"], dtype).reshape(b, t, cfg.n_heads, hd)
+    k = _matmul(x, layer["wk"], dtype).reshape(b, t, cfg.n_kv_heads, hd)
+    v = _matmul(x, layer["wv"], dtype).reshape(b, t, cfg.n_kv_heads, hd)
+    # [B, H, T, D]
+    return (jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2))
+
+
+def _mlp(layer, x, dtype):
+    gate = _matmul(x, layer["w_gate"], dtype)
+    up = _matmul(x, layer["w_up"], dtype)
+    return _matmul(jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * up,
+                   layer["w_down"], dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward (training / prefill) and decode
+# ---------------------------------------------------------------------------
+
+
+def forward(params, cfg: LlamaConfig, tokens, *, positions=None,
+            caches=None, interpret=None):
+    """Full forward over [B, T] tokens → logits [B, T, vocab].
+
+    With ``caches`` (list of KVCache per layer): prefill mode — each
+    layer's K/V are appended to its cache and attention still runs causal
+    over the full prefix; returns (logits, new_caches).
+    """
+    dtype = params["embed"].dtype
+    b, t = tokens.shape
+    if positions is None:
+        if caches is not None:
+            positions = caches[0].lengths[:, None] + jnp.arange(t)[None, :]
+        else:
+            positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    inv_freq = rope_frequencies(cfg)
+
+    x = params["embed"][tokens]
+    new_caches = [] if caches is not None else None
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q, k, v = _project_qkv(layer, h, cfg, dtype)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+        if caches is not None:
+            new_caches.append(kv_cache_mod.update(caches[li], k, v))
+        o = flash_attention(q, k, v, causal=True, interpret=interpret)
+        o = jnp.swapaxes(o, 1, 2).reshape(b, t, cfg.n_heads * cfg.head_dim)
+        x = x + _matmul(o, layer["wo"], dtype)
+        h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        x = x + _mlp(layer, h, dtype)
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        logits = jnp.dot(x, params["embed"].T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = _matmul(x, head, dtype).astype(jnp.float32)
+    if new_caches is not None:
+        return logits, new_caches
+    return logits
+
+
+def decode_step(params, cfg: LlamaConfig, tokens, caches, *, interpret=None):
+    """One decode step: tokens [B] (the latest token per sequence) →
+    (logits [B, vocab], updated caches). Uses the fused-dequant decode
+    kernel against each layer's KV cache."""
+    dtype = params["embed"].dtype
+    b = tokens.shape[0]
+    positions = caches[0].lengths[:, None]                  # [B, 1]
+    inv_freq = rope_frequencies(cfg)
+
+    x = params["embed"][tokens][:, None, :]                 # [B, 1, dim]
+    new_caches = []
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q, k, v = _project_qkv(layer, h, cfg, dtype)        # [B, H, 1, D]
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+        cache = kv_cache_mod.update(caches[li], k, v)
+        new_caches.append(cache)
+        o = decode_attention(q[:, :, 0, :], cache, interpret=interpret)
+        x = x + _matmul(o.reshape(b, 1, -1), layer["wo"], dtype)
+        h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        x = x + _mlp(layer, h, dtype)
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        logits = jnp.dot(x[:, 0], params["embed"].T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = _matmul(x[:, 0], head, dtype).astype(jnp.float32)
+    return logits, new_caches
+
+
+def make_caches(cfg: LlamaConfig, batch: int, max_len: int,
+                precision: OperandPrecision = OperandPrecision.BF16):
+    return [
+        kv_cache_mod.create(batch, cfg.n_kv_heads, max_len, cfg.head_dim,
+                            precision)
+        for _ in range(cfg.n_layers)
+    ]

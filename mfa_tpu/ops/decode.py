@@ -1,0 +1,94 @@
+"""Public decode-attention API over a KV cache.
+
+Dispatch path mirrors ops/attention.py: descriptor-free fast path (decode
+shapes are fixed per serving config), two-level cache keyed on the shape
+class, Pallas kernel with fused dequant (kernels/decode.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from mfa_tpu.kernels import decode as decode_kernel
+from mfa_tpu.kernels.flash_fwd import LOG2E
+from mfa_tpu.ops.cache import attention_cache
+from mfa_tpu.ops.descriptors import round_up
+from mfa_tpu.serving.kv_cache import KVCache
+
+
+def _choose_block_kv(max_len: int) -> int:
+    """Decode is bandwidth-bound; bigger KV blocks amortize per-block
+    overheads until VMEM pressure. 512 is the measured sweet spot for
+    [128, 2048) caches; clamp to the cache length."""
+    return min(512, round_up(max_len, 128))
+
+
+def decode_attention(
+    q,
+    cache: KVCache,
+    *,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """One-token GQA attention against the cache.
+
+    q: [B, Hq, head_dim] (the new token's queries; Hq must be a multiple of
+    the cache's KV heads). Returns [B, Hq, head_dim] in q.dtype.
+    Rows past each sequence's ``cache.lengths`` are ignored.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, hq, d = q.shape
+    hkv = cache.num_kv_heads
+    if hq % hkv != 0:
+        raise ValueError(f"num_q_heads ({hq}) must be a multiple of "
+                         f"num_kv_heads ({hkv})")
+    group = hq // hkv
+    d_pad = cache.head_dim_padded
+    max_len = cache.max_len
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    # Pre-scale and fold log2(e) (the forward kernel's trick) — exp2 domain.
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    if d < d_pad:
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, d_pad - d)))
+    q3 = qs.reshape(b, hkv, group, d_pad).reshape(b * hkv, group, d_pad)
+
+    block_kv = _choose_block_kv(max_len)
+    key = ("decode", b, hkv, group, max_len, d_pad, block_kv,
+           str(cache.k.dtype), str(q.dtype), cache.quantized, interpret)
+    build = functools.partial(
+        decode_kernel.build_decode,
+        batch=b,
+        num_kv_heads=hkv,
+        group=group,
+        max_len=round_up(max_len, block_kv),
+        d_pad=d_pad,
+        block_kv=block_kv,
+        kv_dtype=cache.k.dtype,
+        q_dtype=q.dtype,
+        o_dtype=q.dtype,
+        quantized=cache.quantized,
+        interpret=interpret,
+    )
+    fn = attention_cache.get_pipeline(key, key, build, lambda kern: kern)
+
+    bh = b * hkv
+    k3 = cache.k.reshape(bh, max_len, d_pad)
+    v3 = cache.v.reshape(bh, max_len, d_pad)
+    ks3 = cache.k_scale.reshape(bh, max_len, 1)
+    vs3 = cache.v_scale.reshape(bh, max_len, 1)
+    m_pad = round_up(max_len, block_kv)
+    if m_pad != max_len:
+        k3 = jnp.pad(k3, ((0, 0), (0, m_pad - max_len), (0, 0)))
+        v3 = jnp.pad(v3, ((0, 0), (0, m_pad - max_len), (0, 0)))
+        ks3 = jnp.pad(ks3, ((0, 0), (0, m_pad - max_len), (0, 0)))
+        vs3 = jnp.pad(vs3, ((0, 0), (0, m_pad - max_len), (0, 0)))
+
+    o = fn(cache.lengths, q3, k3, v3, ks3, vs3)
+    return o.reshape(b, hq, d_pad)[..., :d]

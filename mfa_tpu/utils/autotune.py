@@ -1,0 +1,112 @@
+"""Autotune harness: regenerate parameter-table rows by measurement.
+
+The TPU analogue of the reference's runtime autotuning — when
+``preferAsyncStore == nil`` it compiles 4 candidate kernels and picks by
+occupancy (GEMMDescriptor+PipelineCache.swift:75-119; C++
+GEMMShaderCache.cpp:75-160). Here: enumerate (block_q, block_kv, block_d)
+candidates that fit the VMEM budget, build each forward/backward kernel,
+measure with the differential-timing protocol, and emit the winning row in
+the parameter-table mini-DSL so it can be pasted into ops/params.py.
+
+Run on a real chip:  python -m mfa_tpu.utils.autotune [--d 128] [--n 4096]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfa_tpu.kernels import flash_bwd, flash_fwd
+from mfa_tpu.ops import params as params_mod
+from mfa_tpu.ops.descriptors import (
+    AttentionDescriptor,
+    AttentionKernelType,
+    round_up,
+)
+from mfa_tpu.utils.roofline import attention_flops, measure
+
+
+def candidate_rows(head_dim: int, in_bytes: float, kernel_type: str,
+                   generation: params_mod.TpuGeneration):
+    """Enumerate block candidates fitting the VMEM budget (~70%)."""
+    d_pad = round_up(head_dim, 128)
+    for bq, bkv in itertools.product((256, 512, 1024), (256, 512, 1024, 2048)):
+        for bd in {min(128, d_pad), d_pad}:
+            if d_pad % bd != 0:
+                continue
+            row = params_mod.ParameterRow(
+                max_d=head_dim, block_q=bq, block_kv=bkv, block_d=bd)
+            est = params_mod.vmem_bytes_estimate(row, head_dim, in_bytes,
+                                                 kernel_type)
+            if est < generation.vmem_bytes * 0.7:
+                yield row
+
+
+def tune_forward(head_dim: int = 128, seq: int = 4096, heads: int = 8,
+                 dtype=jnp.bfloat16, causal: bool = False, verbose=print):
+    gen = params_mod.detect_generation()
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((heads, seq, round_up(head_dim, 128))), dtype)
+    q, k, v = mk(), mk(), mk()
+    flops = attention_flops("forward", seq, seq, head_dim,
+                            batch_heads=heads, causal=causal)
+
+    desc = AttentionDescriptor(
+        batch=1, num_q_heads=heads, num_kv_heads=heads,
+        seq_len_q=seq, seq_len_kv=seq, head_dim=head_dim, causal=causal,
+        low_precision_inputs=dtype == jnp.bfloat16,
+    )
+    base_kd = desc.kernel_descriptor(AttentionKernelType.FORWARD, gen)
+
+    results = []
+    in_bytes = jnp.dtype(dtype).itemsize
+    for row in candidate_rows(head_dim, in_bytes, "forward", gen):
+        kd = dataclasses.replace(
+            base_kd, block_q=min(row.block_q, seq),
+            block_kv=min(row.block_kv, seq), block_d=row.block_d)
+        try:
+            fn = flash_fwd.build_fwd(
+                kd, batch_heads=heads, kv_batch_heads=heads,
+                seq_len_q=seq, seq_len_kv=seq,
+                d_pad=round_up(head_dim, 128),
+                scale=desc.softmax_scale,
+                q_dtype=dtype, kv_dtype=dtype, o_dtype=dtype,
+            )
+            res = measure(jax.jit(fn), (q, k, v), flops, 0, generation=gen,
+                          iters=2, inner_small=1, inner_big=8)
+        except Exception as e:  # noqa: BLE001 — candidate may not compile
+            verbose(f"  bq={row.block_q:5d} bkv={row.block_kv:5d} "
+                    f"bd={row.block_d:4d}  FAILED {type(e).__name__}")
+            continue
+        results.append((res.tflops, kd))
+        verbose(f"  bq={kd.block_q:5d} bkv={kd.block_kv:5d} bd={kd.block_d:4d}"
+                f"  {res.tflops:7.1f} TFLOP/s  util {res.compute_bound_utilization:.3f}")
+    results.sort(key=lambda t: -t[0])
+    return results
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--causal", action="store_true")
+    args = ap.parse_args()
+
+    print(f"# tuning forward D={args.d} N={args.n} heads={args.heads}")
+    results = tune_forward(args.d, args.n, args.heads, causal=args.causal)
+    if results:
+        best = results[0][1]
+        print(f"# best row:  {args.d} | {best.block_q} | {best.block_kv} "
+              f"| {best.block_d} |")
+
+
+if __name__ == "__main__":
+    main()

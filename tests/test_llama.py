@@ -1,0 +1,82 @@
+"""Llama model layer: prefill/decode consistency, quantized weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfa_tpu.models import llama
+from mfa_tpu.ops.precision import OperandPrecision
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(jax.random.key(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 24)), jnp.int32)
+    return cfg, params, tokens
+
+
+def test_forward_shapes(setup):
+    cfg, params, tokens = setup
+    logits = llama.forward(params, cfg, tokens)
+    assert logits.shape == (2, 24, cfg.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_prefill_then_decode_matches_forward(setup):
+    """Decoding token-by-token with the KV cache must reproduce the full
+    causal forward logits — the end-to-end correctness contract of the
+    cache + decode kernel + rope positioning."""
+    cfg, params, tokens = setup
+    t = tokens.shape[1]
+
+    full_logits = llama.forward(params, cfg, tokens)
+
+    caches = llama.make_caches(cfg, batch=2, max_len=64)
+    prefill_logits, caches = llama.forward(
+        params, cfg, tokens[:, : t - 4], caches=caches)
+    np.testing.assert_allclose(
+        np.asarray(prefill_logits), np.asarray(full_logits[:, : t - 4]),
+        atol=2e-2, rtol=1e-3,
+    )
+
+    logits = None
+    for i in range(t - 4, t):
+        logits, caches = llama.decode_step(params, cfg, tokens[:, i], caches)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full_logits[:, i]),
+            atol=5e-2, rtol=1e-2,
+        )
+
+
+def test_int8_weight_quantization(setup):
+    cfg, params, tokens = setup
+    qparams = llama.quantize_params(params, OperandPrecision.INT8)
+    logits = llama.forward(params, cfg, tokens)
+    qlogits = llama.forward(qparams, cfg, tokens)
+    # int8 weights: logits drift but top-1 should mostly agree on random
+    # init (sanity; perplexity harness covers real models).
+    agree = (jnp.argmax(logits, -1) == jnp.argmax(qlogits, -1)).mean()
+    assert float(agree) > 0.9, f"top-1 agreement {float(agree):.2f}"
+
+
+def test_int4_weight_quantization(setup):
+    cfg, params, tokens = setup
+    qparams = llama.quantize_params(params, OperandPrecision.INT4)
+    qlogits = llama.forward(qparams, cfg, tokens)
+    assert bool(jnp.all(jnp.isfinite(qlogits)))
+
+
+def test_decode_with_quantized_kv(setup):
+    cfg, params, tokens = setup
+    full_logits = llama.forward(params, cfg, tokens)
+    caches = llama.make_caches(cfg, 2, 64, OperandPrecision.INT8)
+    _, caches = llama.forward(params, cfg, tokens[:, :-1], caches=caches)
+    logits, _ = llama.decode_step(params, cfg, tokens[:, -1], caches)
+    # int8 KV error budget: looser than weight-only (values quantized per
+    # token) but same top-1 behavior expected.
+    agree = (jnp.argmax(logits, -1) == jnp.argmax(full_logits[:, -1], -1)).mean()
+    assert float(agree) == 1.0
