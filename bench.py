@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mfa_tpu.ops.attention import flash_attention
-from mfa_tpu.utils.roofline import attention_flops, measure
+from mfa_tpu.utils.roofline import attention_flops, measure_chained
 from mfa_tpu.ops.params import detect_generation
 
 
@@ -32,14 +32,14 @@ def main():
     k = jnp.asarray(rng.standard_normal((batch, heads, seq, d)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((batch, heads, seq, d)), jnp.bfloat16)
 
-    fn = jax.jit(lambda q, k, v: flash_attention(q, k, v, interpret=False))
-
     flops = attention_flops("forward", seq, seq, d, batch_heads=batch * heads)
     bytes_accessed = (3 * batch * heads * seq * d * 2      # q,k,v bf16 in
                       + batch * heads * seq * d * 2        # o out
                       + batch * heads * seq * 4)           # L out
-    res = measure(fn, (q, k, v), flops, bytes_accessed,
-                  name="attn_fwd_d128", generation=gen)
+    res = measure_chained(
+        lambda qq: flash_attention(qq, k, v, interpret=False),
+        q, flops, bytes_accessed, name="attn_fwd_d128", generation=gen,
+    )
 
     print(
         f"# latency {res.latency_s*1e6:.0f} us | {res.tflops:.1f} TFLOP/s | "

@@ -20,8 +20,27 @@ Conventions:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["w", "scale"], meta_fields=["kind"])
+@dataclass(frozen=True)
+class QuantizedWeight:
+    """A weight-only quantized projection: jit/shard-friendly pytree.
+
+    kind "int8": w [in, out] int8, scale [1, out] f32.
+    kind "int4": w [out, in/2] packed int8, scale [out, 1] f32.
+    """
+
+    w: jnp.ndarray
+    scale: jnp.ndarray
+    kind: str
+
 
 INT8_MAX = 127.0
 FP8_E4M3_MAX = 448.0

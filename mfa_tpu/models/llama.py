@@ -116,9 +116,9 @@ def quantize_params(params, precision: OperandPrecision):
         if precision is OperandPrecision.INT8:
             vals, scale = quant.quantize_int8(wf.T, axis=-1)
             # store transposed back: vals [out, in] → [in, out]
-            return {"kind": "int8", "w": vals.T, "scale": scale.T}
+            return quant.QuantizedWeight(vals.T, scale.T, "int8")
         vals, scale = quant.quantize_int4(wf.T, axis=-1)
-        return {"kind": "int4", "w": vals, "scale": scale}  # [out, in/2]
+        return quant.QuantizedWeight(vals, scale, "int4")  # [out, in/2]
 
     out = dict(params)
     out["layers"] = []
@@ -136,16 +136,16 @@ def _matmul(x, w, dtype):
     Quantized forms store per-output-channel scales; XLA fuses the scale
     multiply into the matmul epilogue, so the dequantized weight never hits
     HBM (the weight-only analogue of the KV dequant fusion)."""
-    if isinstance(w, dict):
-        if w["kind"] == "int8":
-            y = jnp.dot(x, w["w"].astype(dtype),
+    if isinstance(w, quant.QuantizedWeight):
+        if w.kind == "int8":
+            y = jnp.dot(x, w.w.astype(dtype),
                         preferred_element_type=jnp.float32)
-            return (y * w["scale"].astype(jnp.float32)).astype(dtype)
-        if w["kind"] == "int4":
-            wt = quant.unpack_int4(w["w"]).astype(jnp.float32) * w["scale"]
+            return (y * w.scale.astype(jnp.float32)).astype(dtype)
+        if w.kind == "int4":
+            wt = quant.unpack_int4(w.w).astype(jnp.float32) * w.scale
             return jnp.dot(x, wt.T.astype(dtype),
                            preferred_element_type=jnp.float32).astype(dtype)
-        raise ValueError(w["kind"])
+        raise ValueError(w.kind)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(dtype)
 
 

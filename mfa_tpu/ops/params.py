@@ -162,11 +162,14 @@ def select_row(rows: list[ParameterRow], head_dim: int) -> ParameterRow:
 
 _FWD_BF16 = """
 # max_d | block_q | block_kv | block_d | vmem-resident
-   64   |   512   |   1024   |   64    | Q, O
-  128   |   512   |    512   |  128    | Q, O
-  256   |   256   |    512   |  256    | Q, O
-  384   |   256   |    256   |  128    | O
-  inf   |   128   |    256   |  128    |
+# v5e-measured (utils/autotune.py, N=4096): wide traversal blocks win —
+# the online-softmax state update amortizes over block_kv, and bq=256
+# keeps enough parallel grid slack. 256/2048 @ D=128: 0.78 roofline.
+   64   |   256   |   2048   |   64    | Q, O
+  128   |   256   |   2048   |  128    | Q, O
+  256   |   256   |   1024   |  256    | Q, O
+  384   |   256   |    512   |  128    | O
+  inf   |   128   |    512   |  128    |
 """
 
 _FWD_FP32 = """

@@ -1,0 +1,137 @@
+"""Ring attention: sequence-parallel flash attention over an ICI ring.
+
+The direct generalization of the reference's streaming traversal loop
+(AttentionKernel+Source.swift:176-199) to multiple chips (SURVEY.md §2.4):
+KV is sharded along the sequence axis; each step every device runs the
+local flash kernel against the KV chunk it currently holds, then rotates
+the chunk to its ring neighbor with ``ppermute``. The per-chunk online-
+softmax partials (O, L) are merged with exactly the reference's rescaling
+identity (AttentionKernel+Softmax.swift:289-324) lifted from block level to
+chunk level:
+
+    L   = log(exp L1 + exp L2)
+    O   = O1·exp(L1−L) + O2·exp(L2−L)
+
+Causal handling classifies whole chunks (the chunk-level analogue of the
+causal block skip): source chunk < mine → unmasked; == mine → local causal;
+> mine → skipped entirely.
+
+Forward-only for now (long-context inference / prefill). The training-side
+ring backward (rotating dK/dV partials) follows the same skeleton and is
+tracked as future work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mfa_tpu.ops.attention import flash_attention
+
+
+def _merge(o1, lse1, o2, lse2):
+    """Merge two online-softmax partials (fp32). Handles -inf lse (empty
+    contributions) without NaN."""
+    m = jnp.maximum(lse1, lse2)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w1 = jnp.exp(lse1 - m_safe)
+    w2 = jnp.exp(lse2 - m_safe)
+    denom = w1 + w2
+    denom_safe = jnp.maximum(denom, 1e-37)
+    o = (o1 * w1[..., None] + o2 * w2[..., None]) / denom_safe[..., None]
+    lse = m_safe + jnp.log(denom_safe)
+    lse = jnp.where(jnp.isfinite(m), lse, -jnp.inf)
+    return o, lse
+
+
+def ring_flash_attention(
+    q,
+    k,
+    v,
+    *,
+    axis_name: str = "sp",
+    causal: bool = False,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """Sequence-parallel attention; call inside shard_map with the sequence
+    axis of q/k/v sharded over ``axis_name``.
+
+    q, k, v: the LOCAL chunks [B, H, T_local, D] (equal chunk sizes).
+    Returns the local chunk of O. Chunks are assumed laid out in ring
+    order: global position = axis_index * T_local + local position.
+    """
+    n = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    b, h, t, d = q.shape
+
+    def local_attn(kc, vc, local_causal: bool):
+        o, lse = flash_attention(
+            q, kc, vc, causal=local_causal, scale=scale,
+            interpret=interpret, with_lse=True,
+        )
+        return o.astype(jnp.float32), lse
+
+    def step(carry, s):
+        o_acc, lse_acc, kc, vc = carry
+        src = (my - s) % n               # owner of the chunk we now hold
+
+        if causal:
+            # Chunk classification; all branches same signature.
+            def full(_):
+                return local_attn(kc, vc, False)
+
+            def diag(_):
+                return local_attn(kc, vc, True)
+
+            def skip(_):
+                return (jnp.zeros((b, h, t, d), jnp.float32),
+                        jnp.full((b, h, t), -jnp.inf, jnp.float32))
+
+            branch = jnp.int32(0) + (src == my) + 2 * (src > my)
+            o_p, lse_p = jax.lax.switch(branch, [full, diag, skip], None)
+        else:
+            o_p, lse_p = local_attn(kc, vc, False)
+
+        o_acc, lse_acc = _merge(o_acc, lse_acc, o_p, lse_p)
+
+        # Rotate KV to the next device (skip after the last compute step).
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        return (o_acc, lse_acc, kc, vc), None
+
+    o0 = jnp.zeros((b, h, t, d), jnp.float32)
+    lse0 = jnp.full((b, h, t), -jnp.inf, jnp.float32)
+    (o, lse, _, _), _ = jax.lax.scan(
+        step, (o0, lse0, k, v), jnp.arange(n), length=n
+    )
+    return o.astype(q.dtype)
+
+
+def make_ring_attention(mesh, *, causal: bool = False, scale=None,
+                        interpret: bool | None = None,
+                        axis_name: str = "sp"):
+    """shard_map-wrapped ring attention: takes GLOBAL [B, H, S, D] arrays
+    with S sharded over ``axis_name``; dp/tp axes shard batch/heads."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("dp", "tp", axis_name, None)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    def fn(q, k, v):
+        return ring_flash_attention(
+            q, k, v, axis_name=axis_name, causal=causal, scale=scale,
+            interpret=interpret,
+        )
+
+    return fn

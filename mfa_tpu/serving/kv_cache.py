@@ -125,3 +125,23 @@ def update(cache: KVCache, k_new, v_new) -> KVCache:
         v_scale=upd(cache.v_scale, vs, starts),
         lengths=cache.lengths + t,
     )
+
+
+def write_slot(cache: KVCache, slot: int, src: KVCache,
+               true_len) -> KVCache:
+    """Splice a batch-1 cache into ``slot`` of a multi-slot cache, setting
+    the slot's length to ``true_len`` (drops any padded tail the source
+    appended). Continuous-batching admission path."""
+    return replace(
+        cache,
+        k=cache.k.at[slot].set(src.k[0]),
+        v=cache.v.at[slot].set(src.v[0]),
+        k_scale=cache.k_scale.at[slot].set(src.k_scale[0]),
+        v_scale=cache.v_scale.at[slot].set(src.v_scale[0]),
+        lengths=cache.lengths.at[slot].set(true_len),
+    )
+
+
+def reset_slot(cache: KVCache, slot: int) -> KVCache:
+    """Free a slot (length 0; data is dead past the length mask)."""
+    return replace(cache, lengths=cache.lengths.at[slot].set(0))

@@ -34,7 +34,8 @@ def candidate_rows(head_dim: int, in_bytes: float, kernel_type: str,
                    generation: params_mod.TpuGeneration):
     """Enumerate block candidates fitting the VMEM budget (~70%)."""
     d_pad = round_up(head_dim, 128)
-    for bq, bkv in itertools.product((256, 512, 1024), (256, 512, 1024, 2048)):
+    for bq, bkv in itertools.product((256, 512, 1024, 2048),
+                                     (512, 1024, 2048)):
         for bd in {min(128, d_pad), d_pad}:
             if d_pad % bd != 0:
                 continue
@@ -78,7 +79,7 @@ def tune_forward(head_dim: int = 128, seq: int = 4096, heads: int = 8,
                 q_dtype=dtype, kv_dtype=dtype, o_dtype=dtype,
             )
             res = measure(jax.jit(fn), (q, k, v), flops, 0, generation=gen,
-                          iters=2, inner_small=1, inner_big=8)
+                          iters=3, inner_small=1, inner_big=8)
         except Exception as e:  # noqa: BLE001 — candidate may not compile
             verbose(f"  bq={row.block_q:5d} bkv={row.block_kv:5d} "
                     f"bd={row.block_d:4d}  FAILED {type(e).__name__}")

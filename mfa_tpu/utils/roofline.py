@@ -97,6 +97,46 @@ def _sync(out):
     _np.asarray(leaf.reshape(-1)[:1])
 
 
+def measure_chained(step_fn, init, flops_per_iter: float,
+                    bytes_per_iter: float, name: str = "kernel",
+                    trials: int = 3, n_small: int = 4, n_big: int = 36,
+                    generation: TpuGeneration | None = None) -> BenchResult:
+    """On-device chained timing: ONE dispatch runs n kernel iterations via
+    ``fori_loop`` (each feeding its output forward), so per-dispatch tunnel
+    overhead amortizes away; the slope between two loop lengths removes the
+    fixed sync cost. This is the only protocol that gives stable numbers
+    over the remote tunnel (dispatch-level timing scatters 3x).
+
+    step_fn: x -> x (same shape/dtype), the chained kernel invocation.
+    """
+    import functools
+
+    gen = generation or detect_generation()
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, xx: step_fn(xx), x)
+
+    _sync(loop(init, n_small))   # compile both variants + warm
+    _sync(loop(init, n_big))
+
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _sync(loop(init, n_small))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(loop(init, n_big))
+        t_big = time.perf_counter() - t0
+        dt = (t_big - t_small) / (n_big - n_small)
+        if dt > 0:
+            best = min(best, dt)
+    return BenchResult(
+        name=name, latency_s=best, flops=flops_per_iter,
+        bytes_accessed=bytes_per_iter, generation=gen,
+    )
+
+
 def measure(fn, args, flops: float, bytes_accessed: float,
             name: str = "kernel", iters: int = 5,
             inner_small: int = 2, inner_big: int = 12,
