@@ -1,0 +1,131 @@
+"""ctypes bridge to the C++ kernel-config core (runtime/).
+
+The reference maintains its native C++ twin of the Swift config layer
+(Documentation/CppReference — descriptors, heuristics, shader cache); ours
+is built from runtime/*.cpp into libmfa_runtime.so and used by the Python
+layer when available (parse/selection/heuristics produce bit-identical
+results; tests/test_native.py locks the two implementations together).
+
+Loading is lazy and failure-tolerant: no compiler or missing .so degrades
+to the pure-Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+_RUNTIME_DIR = Path(__file__).resolve().parents[2] / "runtime"
+_LIB_PATH = _RUNTIME_DIR / "build" / "libmfa_runtime.so"
+
+_lib = None
+_load_attempted = False
+
+
+class MfaRow(ctypes.Structure):
+    _fields_ = [
+        ("max_d", ctypes.c_int),
+        ("block_q", ctypes.c_int),
+        ("block_kv", ctypes.c_int),
+        ("block_d", ctypes.c_int),
+        ("vmem_resident", ctypes.c_char * 96),
+    ]
+
+
+def _try_build() -> bool:
+    if not (_RUNTIME_DIR / "Makefile").exists():
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", str(_RUNTIME_DIR)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def load():
+    """Returns the ctypes library or None."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if os.environ.get("MFA_NO_NATIVE"):
+        return None
+    if not _LIB_PATH.exists() and not _try_build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+
+    lib.mfa_parse_table.restype = ctypes.c_int
+    lib.mfa_parse_table.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(MfaRow), ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.mfa_select_row.restype = ctypes.c_int
+    lib.mfa_select_row.argtypes = [
+        ctypes.POINTER(MfaRow), ctypes.c_int, ctypes.c_int]
+    lib.mfa_vmem_bytes_estimate.restype = ctypes.c_longlong
+    lib.mfa_vmem_bytes_estimate.argtypes = [
+        ctypes.POINTER(MfaRow), ctypes.c_int, ctypes.c_double,
+        ctypes.c_char_p]
+    lib.mfa_gemm_blocks.restype = None
+    lib.mfa_gemm_blocks.argtypes = [
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_double, ctypes.c_double, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.mfa_hash_bytes.restype = ctypes.c_ulonglong
+    lib.mfa_hash_bytes.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    _lib = lib
+    return _lib
+
+
+def parse_table(text: str):
+    """Native table parse → list of row dicts, or None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    rows = (MfaRow * 64)()
+    err = ctypes.create_string_buffer(256)
+    n = lib.mfa_parse_table(text.encode(), rows, 64, err, 256)
+    if n < 0:
+        raise ValueError(err.value.decode())
+    out = []
+    for i in range(n):
+        ops = rows[i].vmem_resident.decode()
+        out.append({
+            "max_d": rows[i].max_d,
+            "block_q": rows[i].block_q,
+            "block_kv": rows[i].block_kv,
+            "block_d": rows[i].block_d,
+            "vmem_resident": tuple(o for o in ops.split(",") if o),
+        })
+    return out
+
+
+def gemm_blocks(m: int, n: int, k: int, a_bytes: float, b_bytes: float,
+                generation: str):
+    lib = load()
+    if lib is None:
+        return None
+    bm = ctypes.c_int()
+    bn = ctypes.c_int()
+    bk = ctypes.c_int()
+    lib.mfa_gemm_blocks(m, n, k, a_bytes, b_bytes, generation.encode(),
+                        ctypes.byref(bm), ctypes.byref(bn), ctypes.byref(bk))
+    return bm.value, bn.value, bk.value
+
+
+def hash_bytes(data: bytes) -> int | None:
+    lib = load()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(data, len(data))
+    return lib.mfa_hash_bytes(ctypes.cast(buf, ctypes.c_void_p), len(data))

@@ -120,7 +120,7 @@ def measure_chained(step_fn, init, flops_per_iter: float,
     _sync(loop(init, n_small))   # compile both variants + warm
     _sync(loop(init, n_big))
 
-    best = float("inf")
+    slopes = []
     for _ in range(trials):
         t0 = time.perf_counter()
         _sync(loop(init, n_small))
@@ -128,11 +128,11 @@ def measure_chained(step_fn, init, flops_per_iter: float,
         t0 = time.perf_counter()
         _sync(loop(init, n_big))
         t_big = time.perf_counter() - t0
-        dt = (t_big - t_small) / (n_big - n_small)
-        if dt > 0:
-            best = min(best, dt)
+        slopes.append((t_big - t_small) / (n_big - n_small))
+    slopes.sort()
+    dt = slopes[len(slopes) // 2]   # median: robust to sync-noise spikes
     return BenchResult(
-        name=name, latency_s=best, flops=flops_per_iter,
+        name=name, latency_s=max(dt, 1e-9), flops=flops_per_iter,
         bytes_accessed=bytes_per_iter, generation=gen,
     )
 

@@ -1,0 +1,73 @@
+"""C++ config core ↔ Python twin consistency (the native-equivalence layer,
+SURVEY.md §2.3). Skips cleanly when no toolchain is available."""
+
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from mfa_tpu.ops import native, params
+from mfa_tpu.ops.descriptors import GEMMDescriptor
+
+pytestmark = pytest.mark.skipif(
+    native.load() is None, reason="native runtime unavailable")
+
+
+def test_parse_table_matches_python():
+    for key, text in params._TABLES.items():
+        py_rows = params.parse_table(text)
+        c_rows = native.parse_table(text)
+        assert len(py_rows) == len(c_rows), key
+        for pr, cr in zip(py_rows, c_rows):
+            assert pr.max_d == cr["max_d"]
+            assert pr.block_q == cr["block_q"]
+            assert pr.block_kv == cr["block_kv"]
+            assert pr.block_d == cr["block_d"]
+            assert pr.vmem_resident == cr["vmem_resident"]
+
+
+def test_parse_rejects_malformed():
+    with pytest.raises(ValueError, match="malformed|unbounded"):
+        native.parse_table("64 | 1 | 1")
+
+
+def test_gemm_blocks_match_python():
+    for shape in [(64, 64, 64), (512, 512, 512), (4096, 4096, 4096),
+                  (7, 200, 130)]:
+        for in_bytes in (2.0, 4.0):
+            prec = (params.GENERATIONS["v5e"], )
+            desc = GEMMDescriptor(m=shape[0], n=shape[1], k=shape[2])
+            # Python heuristic uses max(a_bytes, b_bytes) = in_bytes when
+            # both operands share a precision; emulate via native call.
+            got = native.gemm_blocks(*shape, in_bytes, in_bytes, "v5e")
+            # Recompute the Python side with the same in_bytes by direct
+            # formula (GEMMDescriptor assumes fp32; compare at 4 bytes).
+            if in_bytes == 4.0:
+                kd = desc.kernel_descriptor(params.GENERATIONS["v5e"])
+                assert got == (kd.block_m, kd.block_n, kd.block_k)
+            else:
+                bm, bn, bk = got
+                assert bm * bn * 4 + 2 * in_bytes * bk * (bm + bn) \
+                    <= params.GENERATIONS["v5e"].vmem_bytes * 0.7
+
+
+def test_hash_stability():
+    h1 = native.hash_bytes(b"attention-kernel-key")
+    h2 = native.hash_bytes(b"attention-kernel-key")
+    h3 = native.hash_bytes(b"attention-kernel-kez")
+    assert h1 == h2
+    assert h1 != h3
+    assert h1 != 0
+
+
+def test_host_bench_budget():
+    """The native host-path benchmark must meet the reference's ~1 us
+    descriptor-derivation budget (GEMMDescriptor.swift:105)."""
+    exe = Path(native._RUNTIME_DIR) / "build" / "mfa_host_bench"
+    if not exe.exists():
+        subprocess.run(["make", "-C", str(native._RUNTIME_DIR)], check=True,
+                       capture_output=True)
+    out = subprocess.run([str(exe)], capture_output=True, text=True,
+                         timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "host-path budget OK" in out.stdout
