@@ -250,6 +250,71 @@ def _repad1(x3, s_pad):
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+def attention_chunk_grads(
+    q, k, v, o, do, lse,
+    *,
+    causal: bool = False,
+    scale: float | None = None,
+    logit_soft_cap: float | None = None,
+    interpret: bool | None = None,
+):
+    """Backward contributions of ONE KV chunk under a GLOBAL softmax.
+
+    Inputs are [B, H, S, D] (o/do aligned with q; lse [B, H, Sq] is the
+    logsumexp over the FULL sequence, not just this chunk). Because the
+    kernels compute P = exp(S − lse) and D = rowsum(dO ⊙ O) from the
+    supplied global lse/o, the returned (dq, dk, dv) are exactly this
+    chunk's additive contribution to the global gradients — the building
+    block of the ring backward (each chunk visits each device once;
+    contributions sum). Reference analogue: the per-block dS accumulation
+    inside one chip's traversal loop (AttentionKernel+Source.swift:202-293),
+    lifted to chunk granularity.
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    cfg = _AttnConfig(causal=causal, scale=scale,
+                      logit_soft_cap=logit_soft_cap, interpret=interpret)
+    desc = _descriptor(q, k, v, cfg)
+    b, hq, r, d = q.shape
+    _, hkv, c, _ = k.shape
+    d_pad = round_up(d, 128)
+
+    kd_q = desc.kernel_descriptor(AttentionKernelType.BACKWARD_QUERY)
+    kd_kv = desc.kernel_descriptor(AttentionKernelType.BACKWARD_KEY_VALUE)
+
+    lse3 = jnp.broadcast_to(
+        lse.reshape(b * hq, r, 1).astype(jnp.float32),
+        (b * hq, r, flash_fwd.LANES),
+    )
+
+    r_pad_q = round_up(r, kd_q.block_q)
+    c_pad_q = round_up(c, kd_q.block_kv)
+    q3 = _pad3(_fold(q), r_pad_q, d_pad)
+    k3 = _pad3(_fold(k), c_pad_q, d_pad)
+    v3 = _pad3(_fold(v), c_pad_q, d_pad)
+    o3 = _pad3(_fold(o), r_pad_q, d_pad)
+    do3 = _pad3(_fold(do), r_pad_q, d_pad)
+    bwd_q = _get_bwd_q(desc, kd_q, q, k, cfg)
+    dq_pad, dterm_pad = bwd_q(q3, k3, v3, o3, do3, _repad1(lse3, r_pad_q))
+
+    r_pad_kv = round_up(r, kd_kv.block_q)
+    c_pad_kv = round_up(c, kd_kv.block_kv)
+    bwd_kv = _get_bwd_kv(desc, kd_kv, q, k, cfg)
+    dk_pad, dv_pad = bwd_kv(
+        _repad(q3, r_pad_kv, d_pad),
+        _repad(k3, c_pad_kv, d_pad),
+        _repad(v3, c_pad_kv, d_pad),
+        _repad(do3, r_pad_kv, d_pad),
+        _repad1(lse3, r_pad_kv),
+        _repad1(dterm_pad, r_pad_kv),
+    )
+
+    dq = dq_pad[:, :r, :d].reshape(b, hq, r, d).astype(q.dtype)
+    dk = dk_pad[:, :c, :d].reshape(b, hkv, c, d).astype(k.dtype)
+    dv = dv_pad[:, :c, :d].reshape(b, hkv, c, d).astype(v.dtype)
+    return dq, dk, dv
+
+
 # ---------------------------------------------------------------------------
 # public entry points
 # ---------------------------------------------------------------------------

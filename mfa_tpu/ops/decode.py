@@ -92,3 +92,62 @@ def decode_attention(
 
     o = fn(cache.lengths, q3, k3, v3, ks3, vs3)
     return o.reshape(b, hq, d_pad)[..., :d]
+
+
+def paged_decode_attention(
+    q,
+    cache,
+    *,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """One-token GQA attention against a :class:`PagedKVCache`.
+
+    q: [num_seqs, Hq, head_dim]. Pages are gathered through the cache's
+    page tables (scalar prefetch); rows past each sequence's length are
+    masked. Returns [num_seqs, Hq, head_dim] in q.dtype.
+    """
+    from mfa_tpu.kernels import paged_decode as paged_kernel
+    from mfa_tpu.serving.paged_kv_cache import PAGE_SIZE
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, hq, d = q.shape
+    pool = cache.pool
+    hkv = pool.num_kv_heads
+    if hq % hkv != 0:
+        raise ValueError(f"num_q_heads ({hq}) must be a multiple of "
+                         f"num_kv_heads ({hkv})")
+    group = hq // hkv
+    d_pad = pool.head_dim_padded
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    if d < d_pad:
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, d_pad - d)))
+    q3 = qs.reshape(b, hkv, group, d_pad).reshape(b * hkv, group, d_pad)
+
+    key = ("paged_decode", b, hkv, group, cache.max_pages, d_pad,
+           str(pool.k_pages.dtype), str(q.dtype), pool.precision.value,
+           interpret)
+    build = functools.partial(
+        paged_kernel.build_paged_decode,
+        num_seqs=b,
+        num_kv_heads=hkv,
+        group=group,
+        max_pages=cache.max_pages,
+        page_size=PAGE_SIZE,
+        d_pad=d_pad,
+        kv_dtype=pool.k_pages.dtype,
+        q_dtype=q.dtype,
+        o_dtype=q.dtype,
+        quantized=pool.precision.is_quantized,
+        interpret=interpret,
+    )
+    fn = attention_cache.get_pipeline(key, key, build, lambda kern: kern)
+
+    tables, lengths = cache.device_tables()
+    o = fn(tables, lengths, q3, pool.k_pages, pool.v_pages,
+           pool.k_scale, pool.v_scale)
+    return o.reshape(b, hq, d_pad)[..., :d]

@@ -16,19 +16,33 @@ Causal handling classifies whole chunks (the chunk-level analogue of the
 causal block skip): source chunk < mine → unmasked; == mine → local causal;
 > mine → skipped entirely.
 
-Forward-only for now (long-context inference / prefill). The training-side
-ring backward (rotating dK/dV partials) follows the same skeleton and is
-tracked as future work.
+Differentiable: the custom VJP runs the ring a second time, rotating
+(K, V, dK-acc, dV-acc) together. Each step computes this chunk's additive
+gradient contribution under the GLOBAL softmax via
+ops.attention.attention_chunk_grads (the two-kernel atomics-free backward
+with externally supplied O/LSE); after n rotations each chunk arrives home
+carrying its fully-summed dK/dV, while dQ accumulates locally. This is the
+multi-chip lift of the reference's backward traversal loops
+(AttentionKernel+Source.swift:202-293).
 """
 
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 
-from mfa_tpu.ops.attention import flash_attention
+from mfa_tpu.ops.attention import attention_chunk_grads, flash_attention
+
+
+@dataclass(frozen=True)
+class _RingConfig:
+    axis_name: str
+    causal: bool
+    scale: float | None
+    interpret: bool | None
 
 
 def _merge(o1, lse1, o2, lse2):
@@ -44,6 +58,122 @@ def _merge(o1, lse1, o2, lse2):
     lse = m_safe + jnp.log(denom_safe)
     lse = jnp.where(jnp.isfinite(m), lse, -jnp.inf)
     return o, lse
+
+
+def _rotate(x, axis_name, n):
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def _ring_forward(q, k, v, cfg: _RingConfig):
+    n = jax.lax.axis_size(cfg.axis_name)
+    my = jax.lax.axis_index(cfg.axis_name)
+    b, h, t, d = q.shape
+
+    def local_attn(kc, vc, local_causal: bool):
+        o, lse = flash_attention(
+            q, kc, vc, causal=local_causal, scale=cfg.scale,
+            interpret=cfg.interpret, with_lse=True,
+        )
+        return o.astype(jnp.float32), lse
+
+    def step(carry, s):
+        o_acc, lse_acc, kc, vc = carry
+        src = (my - s) % n               # owner of the chunk we now hold
+
+        if cfg.causal:
+            def full(_):
+                return local_attn(kc, vc, False)
+
+            def diag(_):
+                return local_attn(kc, vc, True)
+
+            def skip(_):
+                return (jnp.zeros((b, h, t, d), jnp.float32),
+                        jnp.full((b, h, t), -jnp.inf, jnp.float32))
+
+            branch = jnp.int32(0) + (src == my) + 2 * (src > my)
+            o_p, lse_p = jax.lax.switch(branch, [full, diag, skip], None)
+        else:
+            o_p, lse_p = local_attn(kc, vc, False)
+
+        o_acc, lse_acc = _merge(o_acc, lse_acc, o_p, lse_p)
+        kc = _rotate(kc, cfg.axis_name, n)
+        vc = _rotate(vc, cfg.axis_name, n)
+        return (o_acc, lse_acc, kc, vc), None
+
+    o0 = jnp.zeros((b, h, t, d), jnp.float32)
+    lse0 = jnp.full((b, h, t), -jnp.inf, jnp.float32)
+    (o, lse, _, _), _ = jax.lax.scan(
+        step, (o0, lse0, k, v), jnp.arange(n), length=n
+    )
+    return o.astype(q.dtype), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ring(q, k, v, cfg: _RingConfig):
+    return _ring_forward(q, k, v, cfg)[0]
+
+
+def _ring_fwd_rule(q, k, v, cfg):
+    o, lse = _ring_forward(q, k, v, cfg)
+    return o, (q, k, v, o, lse)
+
+
+def _ring_bwd_rule(cfg, res, g):
+    q, k, v, o, lse = res
+    n = jax.lax.axis_size(cfg.axis_name)
+    my = jax.lax.axis_index(cfg.axis_name)
+
+    def chunk_grads(kc, vc, local_causal: bool):
+        dq_c, dk_c, dv_c = attention_chunk_grads(
+            q, kc, vc, o, g, lse, causal=local_causal, scale=cfg.scale,
+            interpret=cfg.interpret,
+        )
+        return (dq_c.astype(jnp.float32), dk_c.astype(jnp.float32),
+                dv_c.astype(jnp.float32))
+
+    def step(carry, s):
+        kc, vc, dk_acc, dv_acc, dq_acc = carry
+        src = (my - s) % n
+
+        if cfg.causal:
+            def full(_):
+                return chunk_grads(kc, vc, False)
+
+            def diag(_):
+                return chunk_grads(kc, vc, True)
+
+            def skip(_):
+                return (jnp.zeros_like(dq_acc), jnp.zeros_like(dk_acc),
+                        jnp.zeros_like(dv_acc))
+
+            branch = jnp.int32(0) + (src == my) + 2 * (src > my)
+            dq_c, dk_c, dv_c = jax.lax.switch(branch, [full, diag, skip],
+                                              None)
+        else:
+            dq_c, dk_c, dv_c = chunk_grads(kc, vc, False)
+
+        dq_acc = dq_acc + dq_c
+        dk_acc = dk_acc + dk_c
+        dv_acc = dv_acc + dv_c
+        # Rotate the chunk together with its traveling gradient
+        # accumulators; after n steps both arrive back at the owner.
+        kc = _rotate(kc, cfg.axis_name, n)
+        vc = _rotate(vc, cfg.axis_name, n)
+        dk_acc = _rotate(dk_acc, cfg.axis_name, n)
+        dv_acc = _rotate(dv_acc, cfg.axis_name, n)
+        return (kc, vc, dk_acc, dv_acc, dq_acc), None
+
+    zeros_kv = jnp.zeros(k.shape, jnp.float32)
+    zeros_q = jnp.zeros(q.shape, jnp.float32)
+    (kc, vc, dk, dv, dq), _ = jax.lax.scan(
+        step, (k, v, zeros_kv, zeros_kv, zeros_q), jnp.arange(n), length=n
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring.defvjp(_ring_fwd_rule, _ring_bwd_rule)
 
 
 def ring_flash_attention(
@@ -62,53 +192,11 @@ def ring_flash_attention(
     q, k, v: the LOCAL chunks [B, H, T_local, D] (equal chunk sizes).
     Returns the local chunk of O. Chunks are assumed laid out in ring
     order: global position = axis_index * T_local + local position.
+    Differentiable (ring backward rotating dK/dV accumulators).
     """
-    n = jax.lax.axis_size(axis_name)
-    my = jax.lax.axis_index(axis_name)
-    b, h, t, d = q.shape
-
-    def local_attn(kc, vc, local_causal: bool):
-        o, lse = flash_attention(
-            q, kc, vc, causal=local_causal, scale=scale,
-            interpret=interpret, with_lse=True,
-        )
-        return o.astype(jnp.float32), lse
-
-    def step(carry, s):
-        o_acc, lse_acc, kc, vc = carry
-        src = (my - s) % n               # owner of the chunk we now hold
-
-        if causal:
-            # Chunk classification; all branches same signature.
-            def full(_):
-                return local_attn(kc, vc, False)
-
-            def diag(_):
-                return local_attn(kc, vc, True)
-
-            def skip(_):
-                return (jnp.zeros((b, h, t, d), jnp.float32),
-                        jnp.full((b, h, t), -jnp.inf, jnp.float32))
-
-            branch = jnp.int32(0) + (src == my) + 2 * (src > my)
-            o_p, lse_p = jax.lax.switch(branch, [full, diag, skip], None)
-        else:
-            o_p, lse_p = local_attn(kc, vc, False)
-
-        o_acc, lse_acc = _merge(o_acc, lse_acc, o_p, lse_p)
-
-        # Rotate KV to the next device (skip after the last compute step).
-        perm = [(i, (i + 1) % n) for i in range(n)]
-        kc = jax.lax.ppermute(kc, axis_name, perm)
-        vc = jax.lax.ppermute(vc, axis_name, perm)
-        return (o_acc, lse_acc, kc, vc), None
-
-    o0 = jnp.zeros((b, h, t, d), jnp.float32)
-    lse0 = jnp.full((b, h, t), -jnp.inf, jnp.float32)
-    (o, lse, _, _), _ = jax.lax.scan(
-        step, (o0, lse0, k, v), jnp.arange(n), length=n
-    )
-    return o.astype(q.dtype)
+    cfg = _RingConfig(axis_name=axis_name, causal=causal, scale=scale,
+                      interpret=interpret)
+    return _ring(q, k, v, cfg)
 
 
 def make_ring_attention(mesh, *, causal: bool = False, scale=None,

@@ -1,0 +1,157 @@
+"""Paged KV cache: block-granular memory management for serving.
+
+Second-generation cache (first: the contiguous per-slot cache in
+kv_cache.py). Sequences own *pages* of PAGE_SIZE tokens from a shared pool,
+via a per-sequence page table — so HBM is allocated by actual length, not
+worst-case max_len, and slots never fragment. The decode kernel gathers
+pages through scalar-prefetched page tables (kernels/paged_decode.py).
+
+The host-side allocator (free list) lives here; it is the moral equivalent
+of the reference's host-side dispatch bookkeeping — device state is just
+the arrays.
+
+Layout:
+  k_pages, v_pages : [num_pages, Hkv, PAGE, D_pad]   storage dtype
+  k_scale, v_scale : [num_pages, Hkv, PAGE, 1] f32   (per-token scales)
+  page_tables      : [num_seqs, max_pages]  int32    (host-managed numpy)
+  lengths          : [num_seqs]             int32
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfa_tpu.ops.descriptors import round_up
+from mfa_tpu.ops.precision import OperandPrecision
+from mfa_tpu.serving.kv_cache import _quantize_for
+
+PAGE_SIZE = 128
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k_pages", "v_pages", "k_scale", "v_scale"],
+    meta_fields=["precision"],
+)
+@dataclass(frozen=True)
+class PagePool:
+    k_pages: jnp.ndarray
+    v_pages: jnp.ndarray
+    k_scale: jnp.ndarray
+    v_scale: jnp.ndarray
+    precision: OperandPrecision
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[0]
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k_pages.shape[1]
+
+    @property
+    def head_dim_padded(self) -> int:
+        return self.k_pages.shape[3]
+
+
+class PagedKVCache:
+    """Host-side manager: pool arrays + free list + page tables."""
+
+    def __init__(self, num_pages: int, num_kv_heads: int, head_dim: int,
+                 num_seqs: int, max_len: int,
+                 precision: OperandPrecision = OperandPrecision.BF16):
+        d_pad = round_up(head_dim, 128)
+        dtype = precision.dtype
+        shape = (num_pages, num_kv_heads, PAGE_SIZE, d_pad)
+        self.pool = PagePool(
+            k_pages=jnp.zeros(shape, dtype),
+            v_pages=jnp.zeros(shape, dtype),
+            k_scale=jnp.ones((num_pages, num_kv_heads, PAGE_SIZE, 1),
+                             jnp.float32),
+            v_scale=jnp.ones((num_pages, num_kv_heads, PAGE_SIZE, 1),
+                             jnp.float32),
+            precision=precision,
+        )
+        self.max_pages = round_up(max_len, PAGE_SIZE) // PAGE_SIZE
+        # Page 0 is reserved as the null page (tables point at it for
+        # unallocated entries; kernel masks by length so it's never read
+        # meaningfully).
+        self._free = list(range(num_pages - 1, 0, -1))
+        self.page_tables = np.zeros((num_seqs, self.max_pages), np.int32)
+        self.lengths = np.zeros((num_seqs,), np.int32)
+
+    # -- allocation -------------------------------------------------------
+
+    def pages_in_use(self, seq: int) -> int:
+        return (int(self.lengths[seq]) + PAGE_SIZE - 1) // PAGE_SIZE
+
+    def _ensure_capacity(self, seq: int, new_len: int):
+        need = (new_len + PAGE_SIZE - 1) // PAGE_SIZE
+        if need > self.max_pages:
+            raise ValueError(f"sequence {seq} exceeds max_len "
+                             f"({new_len} > {self.max_pages * PAGE_SIZE})")
+        have = self.pages_in_use(seq)
+        for i in range(have, need):
+            if not self._free:
+                raise MemoryError("page pool exhausted")
+            self.page_tables[seq, i] = self._free.pop()
+
+    def free_seq(self, seq: int):
+        for i in range(self.pages_in_use(seq)):
+            page = int(self.page_tables[seq, i])
+            if page != 0:
+                self._free.append(page)
+        self.page_tables[seq, :] = 0
+        self.lengths[seq] = 0
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    # -- writes -----------------------------------------------------------
+
+    def append(self, seq: int, k_new, v_new):
+        """Append T tokens for one sequence. k_new/v_new: [Hkv, T, head_dim]."""
+        hkv, t, d = k_new.shape
+        d_pad = self.pool.head_dim_padded
+        if d < d_pad:
+            k_new = jnp.pad(k_new, ((0, 0), (0, 0), (0, d_pad - d)))
+            v_new = jnp.pad(v_new, ((0, 0), (0, 0), (0, d_pad - d)))
+        start = int(self.lengths[seq])
+        self._ensure_capacity(seq, start + t)
+
+        kq, ks = _quantize_for(self.pool.precision, k_new)
+        vq, vs = _quantize_for(self.pool.precision, v_new)
+
+        pool = self.pool
+        # Split the token range into page-aligned chunks and scatter each.
+        off = 0
+        while off < t:
+            pos = start + off
+            page_idx = int(self.page_tables[seq, pos // PAGE_SIZE])
+            in_page = pos % PAGE_SIZE
+            n = min(PAGE_SIZE - in_page, t - off)
+            sl = (slice(off, off + n),)
+            upd = lambda buf, new: buf.at[page_idx, :, in_page:in_page + n].set(
+                new[:, off:off + n])
+            pool = replace(
+                pool,
+                k_pages=upd(pool.k_pages, kq),
+                v_pages=upd(pool.v_pages, vq),
+                k_scale=upd(pool.k_scale, ks),
+                v_scale=upd(pool.v_scale, vs),
+            )
+            off += n
+        self.pool = pool
+        self.lengths[seq] = start + t
+
+    # -- device views -----------------------------------------------------
+
+    def device_tables(self):
+        return (jnp.asarray(self.page_tables),
+                jnp.asarray(self.lengths, jnp.int32))
