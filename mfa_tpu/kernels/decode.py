@@ -45,11 +45,15 @@ def _decode_kernel(
     block_kv: int,
     quantized: bool,
     compute_dtype,
+    sliding_window: int | None = None,
 ):
     bh = pl.program_id(0)
     j = pl.program_id(1)
     b = bh // num_kv_heads
     length = lengths_ref[b]
+    # Sliding window: the decode token attends keys [length - W, length).
+    win_start = (jnp.maximum(length - sliding_window, 0)
+                 if sliding_window is not None else 0)
 
     @pl.when(j == 0)
     def _init():
@@ -57,7 +61,7 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(j * block_kv < length)
+    @pl.when((j * block_kv < length) & ((j + 1) * block_kv > win_start))
     def _body():
         q = q_ref[0]                                   # (group, d), prescaled
         k = k_ref[0]                                   # (bkv, d) storage dtype
@@ -69,13 +73,14 @@ def _decode_kernel(
             preferred_element_type=jnp.float32,
         )                                              # (group, bkv)
 
-        # Mask only the block the length boundary crosses.
-        crossing = (j + 1) * block_kv > length
+        # Mask only blocks a boundary (length or window start) crosses.
+        crossing = ((j + 1) * block_kv > length) | (j * block_kv < win_start)
 
         def apply_mask(s):
             col = j * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 1)
-            return jnp.where(col < length, s, MASK_VALUE)
+            return jnp.where((col < length) & (col >= win_start), s,
+                             MASK_VALUE)
 
         s = jax.lax.cond(crossing, apply_mask, lambda s: s, s)
 
@@ -114,6 +119,7 @@ def build_decode(
     q_dtype,
     o_dtype,
     quantized: bool,
+    sliding_window: int | None = None,
     interpret: bool = False,
 ):
     """Decode attention over a contiguous (optionally quantized) KV cache.
@@ -136,6 +142,7 @@ def build_decode(
         block_kv=block_kv,
         quantized=quantized,
         compute_dtype=compute_dtype,
+        sliding_window=sliding_window,
     )
 
     # PrefetchScalarGridSpec index maps receive the scalar-prefetch refs as

@@ -86,9 +86,13 @@ def _bwd_q_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
         dterm_ref[0] = jnp.broadcast_to(d_term, dterm_ref.shape[1:])
 
-    if kd.causal:
-        offset = seq_len_kv - seq_len_q
+    offset = seq_len_kv - seq_len_q
+    window = kd.sliding_window
+    is_causal = kd.causal or window is not None
+    if is_causal:
         block_live = j * bkv <= (i + 1) * bq - 1 + offset
+        if window is not None:
+            block_live &= (j + 1) * bkv - 1 >= i * bq + offset - (window - 1)
     else:
         block_live = True
 
@@ -114,9 +118,11 @@ def _bwd_q_kernel(
 
         col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
         mask = col < seq_len_kv
-        if kd.causal:
+        if is_causal:
             row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-            mask &= col <= row + (seq_len_kv - seq_len_q)
+            mask &= col <= row + offset
+            if window is not None:
+                mask &= col >= row + offset - (window - 1)
         s2 = jnp.where(mask, s2, MASK_VALUE)
 
         lse2 = l_ref[0][:, :1] * LOG2E                   # (bq, 1)
@@ -249,9 +255,13 @@ def _bwd_kv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    if kd.causal:
-        offset = seq_len_kv - seq_len_q
+    offset = seq_len_kv - seq_len_q
+    window = kd.sliding_window
+    is_causal = kd.causal or window is not None
+    if is_causal:
         block_live = j * bkv <= (i + 1) * bq - 1 + offset
+        if window is not None:
+            block_live &= (j + 1) * bkv - 1 >= i * bq + offset - (window - 1)
     else:
         block_live = True
 
@@ -280,8 +290,10 @@ def _bwd_kv_kernel(
         row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
         col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
         mask = (row < seq_len_q) & (col < seq_len_kv)
-        if kd.causal:
-            mask &= col <= row + (seq_len_kv - seq_len_q)
+        if is_causal:
+            mask &= col <= row + offset
+            if window is not None:
+                mask &= col >= row + offset - (window - 1)
         s2 = jnp.where(mask, s2, MASK_VALUE)
 
         lse2 = l_ref[0][:, :1] * LOG2E                    # (bq, 1)

@@ -77,19 +77,25 @@ def _fwd_kernel(
 
     # Causal block skip: block (i, j) is fully masked when its lowest query
     # row sees none of its columns. diag offset aligns causal mask to the
-    # sequence ends (query r attends keys <= r + (C - R)).
+    # sequence ends (query r attends keys <= r + (C - R)). A sliding window
+    # (W keys ending at the diagonal) implies the causal bound and adds a
+    # lower-bound skip.
     offset = seq_len_kv - seq_len_q
-    if kd.causal:
+    window = kd.sliding_window
+    is_causal = kd.causal or window is not None
+    if is_causal:
         block_live = j * bkv <= (i + 1) * bq - 1 + offset
+        if window is not None:
+            block_live &= (j + 1) * bkv - 1 >= i * bq + offset - (window - 1)
     else:
         block_live = True
 
     # Static mask classification: the column-edge mask only matters in the
-    # last kv block (and only when C is unaligned); the causal mask only
-    # matters in blocks the diagonal crosses. Interior blocks skip ALL mask
-    # work — the VPU cost per S element is the throughput ceiling of this
-    # kernel (MXU:VPU op-rate ratio ~100:1 on v5e, so every elementwise op
-    # on S costs ~D/100 of a matmul).
+    # last kv block (and only when C is unaligned); the causal/window mask
+    # only matters in blocks a band edge crosses. Interior blocks skip ALL
+    # mask work — the VPU cost per S element is the throughput ceiling of
+    # this kernel (MXU:VPU op-rate ratio ~100:1 on v5e, so every
+    # elementwise op on S costs ~D/100 of a matmul).
     col_edge_exists = seq_len_kv % bkv != 0
 
     def build_mask():
@@ -97,17 +103,22 @@ def _fwd_kernel(
         if col_edge_exists:
             col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
             m = col < seq_len_kv
-        if kd.causal:
+        if is_causal:
             row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
             col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
             cm = col <= row + offset
+            if window is not None:
+                cm &= col >= row + offset - (window - 1)
             m = cm if m is None else (m & cm)
         return m
 
-    if kd.causal:
-        # Diagonal crosses block (i, j) unless the block's last column is
-        # visible from its first row.
+    if is_causal:
+        # A band edge crosses block (i, j) unless the block's corners are
+        # fully inside the visible band.
         block_needs_mask = (j + 1) * bkv - 1 > i * bq + offset
+        if window is not None:
+            block_needs_mask |= (
+                j * bkv < (i + 1) * bq - 1 + offset - (window - 1))
         if col_edge_exists:
             block_needs_mask |= j == num_kv_blocks - 1
     elif col_edge_exists:

@@ -41,6 +41,7 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     norm_eps: float = 1e-5
     tie_embeddings: bool = False
+    sliding_window: int | None = None   # Mistral-style SWA (all layers)
 
     @property
     def head_dim(self) -> int:
@@ -55,6 +56,12 @@ class LlamaConfig:
         """~1B-scale config for single-chip experiments."""
         return cls(dim=2048, n_layers=16, n_heads=32, n_kv_heads=8,
                    ffn_hidden=8192)
+
+    @classmethod
+    def mistral_7b(cls) -> "LlamaConfig":
+        return cls(vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+                   n_kv_heads=8, ffn_hidden=14336, rope_theta=10000.0,
+                   sliding_window=4096)
 
     @classmethod
     def tiny(cls) -> "LlamaConfig":
@@ -222,7 +229,9 @@ def forward(params, cfg: LlamaConfig, tokens, *, positions=None,
         k = apply_rope(k, positions, inv_freq)
         if caches is not None:
             new_caches.append(kv_cache_mod.update(caches[li], k, v))
-        o = flash_attention(q, k, v, causal=True, interpret=interpret)
+        o = flash_attention(q, k, v, causal=True,
+                            sliding_window=cfg.sliding_window,
+                            interpret=interpret)
         o = jnp.swapaxes(o, 1, 2).reshape(b, t, cfg.n_heads * cfg.head_dim)
         x = x + _matmul(o, layer["wo"], dtype)
         h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
@@ -258,7 +267,9 @@ def decode_step(params, cfg: LlamaConfig, tokens, caches, *, interpret=None):
         k = apply_rope(k, positions, inv_freq)
         cache = kv_cache_mod.update(caches[li], k, v)
         new_caches.append(cache)
-        o = decode_attention(q[:, :, 0, :], cache, interpret=interpret)
+        o = decode_attention(q[:, :, 0, :], cache,
+                             sliding_window=cfg.sliding_window,
+                             interpret=interpret)
         x = x + _matmul(o.reshape(b, 1, -1), layer["wo"], dtype)
         h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         x = x + _mlp(layer, h, dtype)

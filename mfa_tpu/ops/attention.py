@@ -39,6 +39,7 @@ class _AttnConfig:
     causal: bool
     scale: float | None
     logit_soft_cap: float | None
+    sliding_window: int | None
     interpret: bool
 
 
@@ -62,6 +63,7 @@ def _descriptor(q, k, v, cfg: _AttnConfig) -> AttentionDescriptor:
         causal=cfg.causal,
         scale=cfg.scale,
         logit_soft_cap=cfg.logit_soft_cap,
+        sliding_window=cfg.sliding_window,
         low_precision_inputs=low,
     )
 
@@ -256,6 +258,7 @@ def attention_chunk_grads(
     causal: bool = False,
     scale: float | None = None,
     logit_soft_cap: float | None = None,
+    sliding_window: int | None = None,
     interpret: bool | None = None,
 ):
     """Backward contributions of ONE KV chunk under a GLOBAL softmax.
@@ -273,7 +276,8 @@ def attention_chunk_grads(
     if interpret is None:
         interpret = _auto_interpret()
     cfg = _AttnConfig(causal=causal, scale=scale,
-                      logit_soft_cap=logit_soft_cap, interpret=interpret)
+                      logit_soft_cap=logit_soft_cap,
+                      sliding_window=sliding_window, interpret=interpret)
     desc = _descriptor(q, k, v, cfg)
     b, hq, r, d = q.shape
     _, hkv, c, _ = k.shape
@@ -328,6 +332,7 @@ def flash_attention(
     causal: bool = False,
     scale: float | None = None,
     logit_soft_cap: float | None = None,
+    sliding_window: int | None = None,
     interpret: bool | None = None,
     with_lse: bool = False,
 ):
@@ -341,7 +346,7 @@ def flash_attention(
         interpret = _auto_interpret()
     cfg = _AttnConfig(
         causal=causal, scale=scale, logit_soft_cap=logit_soft_cap,
-        interpret=interpret,
+        sliding_window=sliding_window, interpret=interpret,
     )
     if with_lse:
         o, (_, _, _, _, l_pad) = _run_forward(q, k, v, cfg)

@@ -32,6 +32,7 @@ def decode_attention(
     cache: KVCache,
     *,
     scale: float | None = None,
+    sliding_window: int | None = None,
     interpret: bool | None = None,
 ):
     """One-token GQA attention against the cache.
@@ -61,7 +62,8 @@ def decode_attention(
 
     block_kv = _choose_block_kv(max_len)
     key = ("decode", b, hkv, group, max_len, d_pad, block_kv,
-           str(cache.k.dtype), str(q.dtype), cache.quantized, interpret)
+           str(cache.k.dtype), str(q.dtype), cache.quantized,
+           sliding_window, interpret)
     build = functools.partial(
         decode_kernel.build_decode,
         batch=b,
@@ -74,6 +76,7 @@ def decode_attention(
         q_dtype=q.dtype,
         o_dtype=q.dtype,
         quantized=cache.quantized,
+        sliding_window=sliding_window,
         interpret=interpret,
     )
     fn = attention_cache.get_pipeline(key, key, build, lambda kern: kern)

@@ -76,6 +76,9 @@ class AttentionDescriptor:
     # AttentionKernel+Softmax.swift:17-26)
     scale: float | None = None
     logit_soft_cap: float | None = None
+    # Mistral-style sliding window: each query attends the W keys ending at
+    # its causal diagonal (implies the causal upper bound).
+    sliding_window: int | None = None
     low_precision_inputs: bool = False
     low_precision_intermediates: bool = False
     kv_cache_precision: OperandPrecision | None = None
@@ -133,6 +136,7 @@ class AttentionDescriptor:
             block_d=block_d,
             head_dim=self.head_dim,
             causal=self.causal,
+            sliding_window=self.sliding_window,
             logit_soft_cap=self.logit_soft_cap,
             q_precision=policy.mem(AttentionOperand.Q),
             kv_precision=policy.mem(AttentionOperand.K),
@@ -154,6 +158,7 @@ class AttentionKernelDescriptor:
     block_d: int
     head_dim: int
     causal: bool
+    sliding_window: int | None
     logit_soft_cap: float | None
     q_precision: OperandPrecision
     kv_precision: OperandPrecision

@@ -37,18 +37,21 @@ def _expand_kv(x: jnp.ndarray, num_q_heads: int) -> jnp.ndarray:
     return jnp.repeat(x, group, axis=1)
 
 
-def _scores(q, k, scale, causal, logit_soft_cap):
+def _scores(q, k, scale, causal, logit_soft_cap, sliding_window=None):
     s = jnp.einsum("bhrd,bhcd->bhrc", q.astype(jnp.float32),
                    k.astype(jnp.float32), precision=_HI)
     s = s * scale
     if logit_soft_cap is not None:
         s = logit_soft_cap * jnp.tanh(s / logit_soft_cap)
-    if causal:
+    if causal or sliding_window is not None:
         r, c = s.shape[-2], s.shape[-1]
         # Align diagonals to the end: query i attends to keys <= i + (c - r).
         row = jnp.arange(r)[:, None]
         col = jnp.arange(c)[None, :]
         mask = col <= row + (c - r)
+        if sliding_window is not None:
+            # Window of W keys ending at the diagonal (Mistral-style SWA).
+            mask &= col >= row + (c - r) - (sliding_window - 1)
         s = jnp.where(mask, s, -jnp.inf)
     return s
 
@@ -60,6 +63,7 @@ def attention_reference(
     scale: float | None = None,
     causal: bool = False,
     logit_soft_cap: float | None = None,
+    sliding_window: int | None = None,
 ):
     """Numerically-stable reference attention.
 
@@ -75,7 +79,7 @@ def attention_reference(
     hq = q.shape[1]
     k = _expand_kv(k, hq)
     v = _expand_kv(v, hq)
-    s = _scores(q, k, scale, causal, logit_soft_cap)
+    s = _scores(q, k, scale, causal, logit_soft_cap, sliding_window)
     m = jnp.max(s, axis=-1, keepdims=True)
     m = jnp.where(jnp.isfinite(m), m, 0.0)  # fully-masked rows
     p = jnp.exp(s - m)
@@ -91,6 +95,7 @@ def attention_grads_reference(
     scale: float | None = None,
     causal: bool = False,
     logit_soft_cap: float | None = None,
+    sliding_window: int | None = None,
 ):
     """Analytic dQ/dK/dV via explicit dS rows (Network.swift:329-402).
 
@@ -114,11 +119,13 @@ def attention_grads_reference(
     else:
         s = s_raw
         cap_grad = None
-    if causal:
+    if causal or sliding_window is not None:
         r, c = s.shape[-2], s.shape[-1]
         row = jnp.arange(r)[:, None]
         col = jnp.arange(c)[None, :]
         mask = col <= row + (c - r)
+        if sliding_window is not None:
+            mask &= col >= row + (c - r) - (sliding_window - 1)
         s = jnp.where(mask, s, -jnp.inf)
 
     m = jnp.max(s, axis=-1, keepdims=True)
