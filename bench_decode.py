@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Decode throughput benchmark: Llama-3-8B shapes, INT8 weights + FP8 KV.
+
+The second headline metric of BASELINE.json ("decode tokens/s/chip with FP8
+KV at 8B"). Random weights (numerics are covered by the test suite; this
+measures the serving step): batch of slots decodes in lockstep through
+jitted scan, timed with the chained protocol.
+
+Usage: python bench_decode.py [--layers N] [--batch B] [--ctx T]
+(defaults to the full 32-layer 8B config; --layers 4 for a quick smoke).
+Prints one JSON line like bench.py.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--ctx", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=32)
+    args = ap.parse_args()
+
+    from mfa_tpu.models import llama
+    from mfa_tpu.ops.precision import OperandPrecision
+    from mfa_tpu.ops.params import detect_generation
+
+    gen = detect_generation()
+    cfg = llama.LlamaConfig(n_layers=args.layers)  # 8B dims, layer-scalable
+    print(f"# {args.layers} layers, batch {args.batch}, ctx {args.ctx}, "
+          f"INT8 weights + FP8 KV on {gen.name}", file=sys.stderr)
+
+    t0 = time.time()
+    params = llama.init_params(jax.random.key(0), cfg, jnp.bfloat16)
+    params = llama.quantize_params(params, OperandPrecision.INT8)
+    caches = llama.make_caches(cfg, args.batch, args.ctx + args.steps + 8,
+                               OperandPrecision.FP8_E4M3)
+    # Fill the context with random KV directly (prefill path measured
+    # elsewhere; decode reads the cache regardless of how it was written).
+    rng = np.random.default_rng(0)
+    from mfa_tpu.serving import kv_cache as kvm
+    filled = []
+    for c in caches:
+        k = jnp.asarray(rng.standard_normal(
+            (args.batch, cfg.n_kv_heads, args.ctx, cfg.head_dim)) * 0.3,
+            jnp.bfloat16)
+        filled.append(kvm.update(c, k, k))
+    caches = filled
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (args.batch,)),
+                         jnp.int32)
+    print(f"# setup {time.time()-t0:.0f}s", file=sys.stderr)
+
+    def many_steps(tokens, caches, n):
+        def body(carry, _):
+            tok, caches = carry
+            logits, caches = llama.decode_step(params, cfg, tok, caches,
+                                               interpret=False)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (tok, caches), None
+
+        (tok, caches), _ = jax.lax.scan(body, (tokens, caches), None,
+                                        length=n)
+        return tok, caches
+
+    import functools
+    loop = jax.jit(functools.partial(many_steps), static_argnums=2)
+
+    def sync(x):
+        np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
+
+    t0 = time.time()
+    out = loop(tokens, caches, 4)
+    sync(out)
+    print(f"# compile {time.time()-t0:.0f}s", file=sys.stderr)
+
+    # Differential: n_small vs n_big decode steps, median of trials.
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(loop(tokens, caches, 4))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(loop(tokens, caches, args.steps))
+        t_big = time.perf_counter() - t0
+        slopes.append((t_big - t_small) / (args.steps - 4))
+    slopes.sort()
+    step_latency = slopes[len(slopes) // 2]
+    tok_s = args.batch / step_latency
+
+    # Speed-of-light: decode streams all KV + all weights once per step.
+    kv_bytes = (2 * args.layers * args.batch * cfg.n_kv_heads
+                * args.ctx * 128 * 1)       # fp8 KV (d_pad=128)
+    w_bytes = sum(np.asarray(w).nbytes for w in
+                  jax.tree_util.tree_leaves(params))
+    sol = (kv_bytes + w_bytes) / (gen.hbm_gbps * 1e9)
+    print(f"# step {step_latency*1e3:.2f} ms | {tok_s:.0f} tok/s | "
+          f"SoL(step) {sol*1e3:.2f} ms | util {sol/step_latency:.3f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"decode_tok_s_chip(8B-int8w-fp8kv,B={args.batch},"
+                  f"ctx={args.ctx},L={args.layers})",
+        "value": round(tok_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(sol / step_latency, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

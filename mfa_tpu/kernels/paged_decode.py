@@ -37,11 +37,14 @@ def _paged_decode_kernel(
     page_size: int,
     quantized: bool,
     compute_dtype,
+    sliding_window: int | None = None,
 ):
     bh = pl.program_id(0)
     j = pl.program_id(1)          # page slot within the sequence
     b = bh // num_kv_heads
     length = lengths_ref[b]
+    win_start = (jnp.maximum(length - sliding_window, 0)
+                 if sliding_window is not None else 0)
 
     @pl.when(j == 0)
     def _init():
@@ -49,7 +52,7 @@ def _paged_decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(j * page_size < length)
+    @pl.when((j * page_size < length) & ((j + 1) * page_size > win_start))
     def _body():
         q = q_ref[0]                                    # (group, d) prescaled
         k = k_ref[0, 0]                                 # (page, d)
@@ -61,12 +64,13 @@ def _paged_decode_kernel(
             preferred_element_type=jnp.float32,
         )                                               # (group, page)
 
-        crossing = (j + 1) * page_size > length
+        crossing = ((j + 1) * page_size > length) | (j * page_size < win_start)
 
         def apply_mask(s):
             col = j * page_size + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 1)
-            return jnp.where(col < length, s, MASK_VALUE)
+            return jnp.where((col < length) & (col >= win_start), s,
+                             MASK_VALUE)
 
         s = jax.lax.cond(crossing, apply_mask, lambda s: s, s)
 
@@ -105,6 +109,7 @@ def build_paged_decode(
     q_dtype,
     o_dtype,
     quantized: bool,
+    sliding_window: int | None = None,
     interpret: bool = False,
 ):
     """Paged decode attention.
@@ -126,6 +131,7 @@ def build_paged_decode(
         quantized=quantized,
         compute_dtype=(jnp.bfloat16 if jnp.dtype(q_dtype) == jnp.bfloat16
                        else jnp.float32),
+        sliding_window=sliding_window,
     )
 
     def head_map(bh_, j, pt_ref, len_ref):

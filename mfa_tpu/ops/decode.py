@@ -102,6 +102,7 @@ def paged_decode_attention(
     cache,
     *,
     scale: float | None = None,
+    sliding_window: int | None = None,
     interpret: bool | None = None,
 ):
     """One-token GQA attention against a :class:`PagedKVCache`.
@@ -133,7 +134,7 @@ def paged_decode_attention(
 
     key = ("paged_decode", b, hkv, group, cache.max_pages, d_pad,
            str(pool.k_pages.dtype), str(q.dtype), pool.precision.value,
-           interpret)
+           sliding_window, interpret)
     build = functools.partial(
         paged_kernel.build_paged_decode,
         num_seqs=b,
@@ -146,6 +147,7 @@ def paged_decode_attention(
         q_dtype=q.dtype,
         o_dtype=q.dtype,
         quantized=pool.precision.is_quantized,
+        sliding_window=sliding_window,
         interpret=interpret,
     )
     fn = attention_cache.get_pipeline(key, key, build, lambda kern: kern)

@@ -1,0 +1,276 @@
+"""Paged continuous-batching scheduler: vLLM-class serving memory.
+
+Second-generation scheduler over the paged KV cache: HBM is allocated in
+128-token pages by actual sequence length, so many more sequences fit than
+the contiguous-slot scheduler (serving/scheduler.py), and a finished
+request's pages return to the shared pool immediately.
+
+Division of labor:
+- device: ONE jitted decode step for the whole batch — per layer, a
+  vectorized single-token append into the page pool (advanced-index
+  scatter) followed by paged attention through the page tables
+- host: the page allocator (free list). Between steps it guarantees every
+  active slot has a page for the NEXT token, so the jitted step never
+  allocates; prefill runs through the model's contiguous path once per
+  admission and splices into pages (off the decode hot path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfa_tpu.models import llama
+from mfa_tpu.ops.decode import paged_decode_attention
+from mfa_tpu.ops.precision import OperandPrecision
+from mfa_tpu.serving.kv_cache import _quantize_for
+from mfa_tpu.serving.paged_kv_cache import PAGE_SIZE, PagedKVCache
+from mfa_tpu.serving.sampling import sample
+from mfa_tpu.serving.scheduler import Completion, Request, _bucket
+
+
+def _append_token_batch(pool, tables, lengths, k_new, v_new):
+    """Scatter one token per sequence into the page pool (jit-friendly).
+
+    tables [B, max_pages] int32; lengths [B] int32 (lengths BEFORE the
+    append); k_new/v_new [B, Hkv, d_pad]. Returns the updated pool.
+    """
+    page_slot = lengths // PAGE_SIZE                       # [B]
+    in_page = lengths % PAGE_SIZE                          # [B]
+    pages = jnp.take_along_axis(tables, page_slot[:, None], axis=1)[:, 0]
+
+    kq, ks = _quantize_for(pool.precision, k_new[:, :, None, :])
+    vq, vs = _quantize_for(pool.precision, v_new[:, :, None, :])
+
+    def scat(buf, val):
+        # buf [num_pages, Hkv, PAGE, ...]; write row (pages[b], :, in_page[b]).
+        return buf.at[pages, :, in_page].set(val[:, :, 0])
+
+    return dataclasses.replace(
+        pool,
+        k_pages=scat(pool.k_pages, kq),
+        v_pages=scat(pool.v_pages, vq),
+        k_scale=scat(pool.k_scale, ks),
+        v_scale=scat(pool.v_scale, vs),
+    )
+
+
+class _CacheView:
+    """Duck-typed PagedKVCache view (pool + device tables/lengths) for
+    paged_decode_attention inside jit."""
+
+    def __init__(self, pool, max_pages, tables, lengths):
+        self.pool = pool
+        self.max_pages = max_pages
+        self._tables = tables
+        self._lengths = lengths
+
+    def device_tables(self):
+        return self._tables, self._lengths
+
+
+class PagedScheduler:
+    """Continuous batching over paged KV memory."""
+
+    def __init__(self, params, cfg: llama.LlamaConfig, *,
+                 num_slots: int = 8, num_pages: int = 512,
+                 max_len: int = 2048,
+                 kv_precision: OperandPrecision = OperandPrecision.BF16,
+                 prompt_buckets=(64, 128, 256, 512, 1024, 2048),
+                 temperature: float = 0.0, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.prompt_buckets = tuple(b for b in prompt_buckets
+                                    if b <= max_len)
+        self.temperature = temperature
+        self._key = jax.random.key(seed)
+        self.kv_precision = kv_precision
+
+        self.caches = [
+            PagedKVCache(num_pages, cfg.n_kv_heads, cfg.head_dim,
+                         num_slots, max_len, kv_precision)
+            for _ in range(cfg.n_layers)
+        ]
+        self.queue: list[Request] = []
+        self.slots: list[Optional[dict]] = [None] * num_slots
+        self.last_tokens = np.zeros((num_slots,), np.int32)
+        self.finished: list[Completion] = []
+        self.stats = {"prefills": 0, "decode_steps": 0, "tokens": 0,
+                      "oom_deferred": 0}
+        self._prefill_fns: dict = {}
+        self._decode_jit = None
+
+    @property
+    def free_pages(self) -> int:
+        return self.caches[0].free_pages
+
+    # -- jitted device step ----------------------------------------------
+
+    def _decode_step(self, params, tokens, pools, tables, lengths):
+        cfg = self.cfg
+        dtype = params["embed"].dtype
+        b = tokens.shape[0]
+        positions = lengths[:, None]
+        inv_freq = llama.rope_frequencies(cfg)
+        max_pages = self.caches[0].max_pages
+
+        x = params["embed"][tokens][:, None, :]
+        new_pools = []
+        for li, layer in enumerate(params["layers"]):
+            h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+            q, k, v = llama._project_qkv(layer, h, cfg, dtype)
+            q = llama.apply_rope(q, positions, inv_freq)
+            k = llama.apply_rope(k, positions, inv_freq)
+            d_pad = pools[li].head_dim_padded
+            pad = ((0, 0), (0, 0), (0, d_pad - cfg.head_dim))
+            pool = _append_token_batch(
+                pools[li], tables[li], lengths,
+                jnp.pad(k[:, :, 0], pad), jnp.pad(v[:, :, 0], pad))
+            new_pools.append(pool)
+
+            view = _CacheView(pool, max_pages, tables[li], lengths + 1)
+            o = paged_decode_attention(
+                q[:, :, 0, :], view,
+                sliding_window=cfg.sliding_window)
+            x = x + llama._matmul(o.reshape(b, 1, -1), layer["wo"], dtype)
+            h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+            x = x + llama._mlp(layer, h, dtype)
+
+        x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+        head = params.get("lm_head")
+        if head is None:
+            logits = jnp.dot(x[:, 0], params["embed"].T,
+                             preferred_element_type=jnp.float32)
+        else:
+            logits = llama._matmul(x[:, 0], head, dtype).astype(jnp.float32)
+        return logits, new_pools
+
+    # -- host orchestration ----------------------------------------------
+
+    def submit(self, request: Request):
+        self.queue.append(request)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _prefill_fn(self, bucket: int):
+        if bucket not in self._prefill_fns:
+            cfg = self.cfg
+            max_len = bucket + 1
+
+            @jax.jit
+            def fn(params, tokens, true_len):
+                # Contiguous BF16 prefill; KV splices into pages after.
+                caches1 = llama.make_caches(cfg, 1, max_len,
+                                            OperandPrecision.BF16)
+                logits, caches1 = llama.forward(
+                    params, cfg, tokens[None, :], caches=caches1)
+                return logits[0, true_len - 1], caches1
+
+            self._prefill_fns[bucket] = fn
+        return self._prefill_fns[bucket]
+
+    def _pages_needed(self, tokens: int) -> int:
+        return (tokens + PAGE_SIZE - 1) // PAGE_SIZE
+
+    def _admit(self):
+        for slot in [i for i, s in enumerate(self.slots) if s is None]:
+            if not self.queue:
+                break
+            req = self.queue[0]
+            t = len(req.prompt)
+            # Admission control: don't start a request whose prompt pages
+            # can't be allocated now (continuous batching under memory
+            # pressure defers admission instead of failing mid-request).
+            if self._pages_needed(t + 1) > self.free_pages:
+                self.stats["oom_deferred"] += 1
+                break
+            self.queue.pop(0)
+            bucket = _bucket(t, self.prompt_buckets)
+            tokens = np.zeros((bucket,), np.int32)
+            tokens[:t] = req.prompt
+            last_logits, caches1 = self._prefill_fn(bucket)(
+                self.params, jnp.asarray(tokens), t)
+            for li, c in enumerate(self.caches):
+                k = caches1[li].k[0, :, :t].astype(jnp.float32)
+                v = caches1[li].v[0, :, :t].astype(jnp.float32)
+                c.append(slot, k[..., : self.cfg.head_dim],
+                         v[..., : self.cfg.head_dim])
+            tok = int(sample(last_logits[None, :], self._next_key(),
+                             temperature=self.temperature)[0])
+            self.slots[slot] = {"request": req, "generated": [tok],
+                                "prefill_len": t}
+            self.last_tokens[slot] = tok
+            self.stats["prefills"] += 1
+            self.stats["tokens"] += 1
+
+    def _retire(self):
+        for i, s in enumerate(self.slots):
+            if s is None:
+                continue
+            req, gen = s["request"], s["generated"]
+            done = len(gen) >= req.max_new_tokens or (
+                req.eos_token is not None and gen
+                and gen[-1] == req.eos_token)
+            overflow = s["prefill_len"] + len(gen) + 1 >= self.max_len
+            if done or overflow:
+                self.finished.append(Completion(req, list(gen),
+                                                s["prefill_len"]))
+                self.slots[i] = None
+                for c in self.caches:
+                    c.free_seq(i)
+
+    def _ensure_decode_capacity(self):
+        for i, s in enumerate(self.slots):
+            if s is None:
+                continue
+            ln = int(self.caches[0].lengths[i])
+            for c in self.caches:
+                c._ensure_capacity(i, ln + 1)
+
+    def step(self) -> bool:
+        self._retire()
+        self._admit()
+        if not any(s is not None for s in self.slots):
+            return False
+        self._ensure_decode_capacity()
+
+        if self._decode_jit is None:
+            self._decode_jit = jax.jit(self._decode_step)
+        pools = [c.pool for c in self.caches]
+        tables = [jnp.asarray(c.page_tables) for c in self.caches]
+        lengths = jnp.asarray(self.caches[0].lengths, jnp.int32)
+        logits, new_pools = self._decode_jit(
+            self.params, jnp.asarray(self.last_tokens), pools, tables,
+            lengths)
+        # Only active slots really appended (inactive ones scatter into the
+        # reserved null page); keep host lengths in sync with that.
+        active = np.asarray([s is not None for s in self.slots], np.int32)
+        for c, p in zip(self.caches, new_pools):
+            c.pool = p
+            c.lengths = c.lengths + active
+
+        toks = np.asarray(sample(logits, self._next_key(),
+                                 temperature=self.temperature))
+        for i, s in enumerate(self.slots):
+            if s is None:
+                continue
+            s["generated"].append(int(toks[i]))
+            self.last_tokens[i] = int(toks[i])
+            self.stats["tokens"] += 1
+        self.stats["decode_steps"] += 1
+        return True
+
+    def run(self, max_steps: int = 10_000):
+        for _ in range(max_steps):
+            if not self.step() and not self.queue:
+                break
+        self._retire()
+        return self.finished
