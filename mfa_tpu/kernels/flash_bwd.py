@@ -96,49 +96,93 @@ def _bwd_q_kernel(
     else:
         block_live = True
 
+    # Mask only where a band/edge can bite (same static classification as
+    # the forward kernel; interior blocks skip all VPU mask work).
+    col_edge_exists = seq_len_kv % bkv != 0
+
+    def build_mask():
+        m = None
+        if col_edge_exists:
+            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            m = col < seq_len_kv
+        if is_causal:
+            row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            cm = col <= row + offset
+            if window is not None:
+                cm &= col >= row + offset - (window - 1)
+            m = cm if m is None else (m & cm)
+        return m
+
+    if is_causal:
+        block_needs_mask = (j + 1) * bkv - 1 > i * bq + offset
+        if window is not None:
+            block_needs_mask |= (
+                j * bkv < (i + 1) * bq - 1 + offset - (window - 1))
+        if col_edge_exists:
+            block_needs_mask |= j == num_kv_blocks - 1
+    elif col_edge_exists:
+        block_needs_mask = j == num_kv_blocks - 1
+    else:
+        block_needs_mask = None
+
+    fp32_in = q_ref.dtype == jnp.float32
+
     @pl.when(block_live)
     def _body():
-        q = q_ref[0]
+        # Pre-scale Q (bf16 path) exactly like the forward kernel — one
+        # (bq, d) multiply replaces a (bq, bkv) one.
+        if fp32_in:
+            q = q_ref[0]
+        else:
+            q = (q_ref[0].astype(jnp.float32) * scale2).astype(q_ref.dtype)
         k = k_ref[0]
         nd = max(1, q.shape[-1] // kd.block_d)
 
-        s = jnp.zeros((bq, bkv), jnp.float32)
-        for db in range(nd):
+        def qk(db):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            s += jax.lax.dot_general(
+            return jax.lax.dot_general(
                 q[:, sl], k[:, sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_prec,
             )
-        s2 = s * scale2
+
+        s2 = qk(0)
+        for db in range(1, nd):
+            s2 += qk(db)
+        if fp32_in:
+            s2 *= scale2
         if kd.logit_soft_cap is not None:
             cap2 = kd.logit_soft_cap * LOG2E
             s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
 
-        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
-        mask = col < seq_len_kv
-        if is_causal:
-            row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-            mask &= col <= row + offset
-            if window is not None:
-                mask &= col >= row + offset - (window - 1)
-        s2 = jnp.where(mask, s2, MASK_VALUE)
+        if block_needs_mask is not None:
+            s2 = jax.lax.cond(
+                block_needs_mask,
+                lambda s: jnp.where(build_mask(), s, MASK_VALUE),
+                lambda s: s,
+                s2,
+            )
 
         lse2 = l_ref[0][:, :1] * LOG2E                   # (bq, 1)
         p = jnp.exp2(s2 - lse2)                          # true probabilities
 
         d_o = do_ref[0]
         v = v_ref[0]
-        dp = jnp.zeros((bq, bkv), jnp.float32)
-        for db in range(nd):
+
+        def dov(db):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            dp += jax.lax.dot_general(
+            return jax.lax.dot_general(
                 d_o[:, sl], v[:, sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_prec,
             )
+
+        dp = dov(0)
+        for db in range(1, nd):
+            dp += dov(db)
 
         ds = p * (dp - d_scr[:, :1])
         if kd.logit_soft_cap is not None:
@@ -265,36 +309,67 @@ def _bwd_kv_kernel(
     else:
         block_live = True
 
+    # Edge masks are unnecessary here: padded q rows carry do = 0, so their
+    # dV/dK contributions vanish term-by-term, and padded KV columns only
+    # produce rows of dK/dV that the wrapper slices away. Only the causal/
+    # window band needs masking, and only in blocks it crosses.
+    if is_causal:
+        block_needs_mask = (j + 1) * bkv - 1 > i * bq + offset
+        if window is not None:
+            block_needs_mask |= (
+                j * bkv < (i + 1) * bq - 1 + offset - (window - 1))
+    else:
+        block_needs_mask = None
+
+    def build_mask():
+        row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        cm = col <= row + offset
+        if window is not None:
+            cm &= col >= row + offset - (window - 1)
+        return cm
+
+    fp32_in = q_ref.dtype == jnp.float32
+
     @pl.when(block_live)
     def _body():
         k = k_ref[0]
         q = q_ref[0]
+        # Pre-scaled copy feeds the S matmul only — dK's dS^T·Q contraction
+        # must see the raw Q.
+        if fp32_in:
+            qs = q
+        else:
+            qs = (q.astype(jnp.float32) * scale2).astype(q_ref.dtype)
         nd = max(1, q.shape[-1] // kd.block_d)
 
         # S = Q K^T (bq, bkv) — row-major; transposed contractions below
         # feed the MXU directly (no materialized S^T, unlike the reference).
-        s = jnp.zeros((bq, bkv), jnp.float32)
-        for db in range(nd):
+        def qk(db):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            s += jax.lax.dot_general(
-                q[:, sl], k[:, sl],
+            return jax.lax.dot_general(
+                qs[:, sl], k[:, sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_prec,
             )
-        s2 = s * scale2
+
+        s2 = qk(0)
+        for db in range(1, nd):
+            s2 += qk(db)
+        if fp32_in:
+            s2 *= scale2
         if kd.logit_soft_cap is not None:
             cap2 = kd.logit_soft_cap * LOG2E
             s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
 
-        row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
-        mask = (row < seq_len_q) & (col < seq_len_kv)
-        if is_causal:
-            mask &= col <= row + offset
-            if window is not None:
-                mask &= col >= row + offset - (window - 1)
-        s2 = jnp.where(mask, s2, MASK_VALUE)
+        if block_needs_mask is not None:
+            s2 = jax.lax.cond(
+                block_needs_mask,
+                lambda s: jnp.where(build_mask(), s, MASK_VALUE),
+                lambda s: s,
+                s2,
+            )
 
         lse2 = l_ref[0][:, :1] * LOG2E                    # (bq, 1)
         p = jnp.exp2(s2 - lse2)                           # (bq, bkv)
@@ -315,15 +390,18 @@ def _bwd_kv_kernel(
             )
 
         # dP = dO V^T  (bq, bkv)
-        dp = jnp.zeros((bq, bkv), jnp.float32)
-        for db in range(nd):
+        def dov(db):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            dp += jax.lax.dot_general(
+            return jax.lax.dot_general(
                 d_o[:, sl], v[:, sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_prec,
             )
+
+        dp = dov(0)
+        for db in range(1, nd):
+            dp += dov(db)
 
         ds = p * (dp - dterm_ref[0][:, :1])
         if kd.logit_soft_cap is not None:

@@ -162,13 +162,14 @@ def select_row(rows: list[ParameterRow], head_dim: int) -> ParameterRow:
 
 _FWD_BF16 = """
 # max_d | block_q | block_kv | block_d | vmem-resident
-# v5e-measured (utils/autotune.py, N=4096): wide traversal blocks win —
-# the online-softmax state update amortizes over block_kv, and bq=256
-# keeps enough parallel grid slack. 256/2048 @ D=128: 0.78 roofline.
-   64   |   256   |   2048   |   64    | Q, O
-  128   |   256   |   2048   |  128    | Q, O
-  256   |   256   |   1024   |  256    | Q, O
-  384   |   256   |    512   |  128    | O
+# v5e-measured (utils/autotune.py + chained timing, N=4096): wide traversal
+# blocks win — the online-softmax state update amortizes over block_kv
+# (256/4096: 0.79 roofline; 512/2048: 0.74; 512/512: 0.36). bkv clamps to
+# the sequence, so short sequences degrade gracefully.
+   64   |   256   |   4096   |   64    | Q, O
+  128   |   256   |   4096   |  128    | Q, O
+  256   |   256   |   2048   |  256    | Q, O
+  384   |   256   |   1024   |  128    | O
   inf   |   128   |    512   |  128    |
 """
 
