@@ -27,15 +27,16 @@ from mfa_tpu.ops.descriptors import (
     AttentionKernelType,
     round_up,
 )
-from mfa_tpu.utils.roofline import attention_flops, measure
+from mfa_tpu.utils.roofline import attention_flops, measure, measure_chained
 
 
 def candidate_rows(head_dim: int, in_bytes: float, kernel_type: str,
-                   generation: params_mod.TpuGeneration):
+                   generation: params_mod.TpuGeneration,
+                   bq_set=(256, 512, 1024, 2048),
+                   bkv_set=(512, 1024, 2048)):
     """Enumerate block candidates fitting the VMEM budget (~70%)."""
     d_pad = round_up(head_dim, 128)
-    for bq, bkv in itertools.product((256, 512, 1024, 2048),
-                                     (512, 1024, 2048)):
+    for bq, bkv in itertools.product(bq_set, bkv_set):
         for bd in {min(128, d_pad), d_pad}:
             if d_pad % bd != 0:
                 continue
@@ -91,6 +92,79 @@ def tune_forward(head_dim: int = 128, seq: int = 4096, heads: int = 8,
     return results
 
 
+def tune_backward(kernel: str, head_dim: int = 128, seq: int = 4096,
+                  heads: int = 8, dtype=jnp.bfloat16, causal: bool = False,
+                  verbose=print,
+                  bq_set=(128, 256, 512), bkv_set=(256, 512, 1024, 2048)):
+    """Sweep block shapes for one of the two backward kernels.
+
+    Chained-timing protocol: the kernel's own gradient output feeds back as
+    the corresponding input (cast to the input dtype), so one dispatch runs
+    many dependent iterations and tunnel sync overhead cancels in the slope.
+    """
+    assert kernel in ("backward_query", "backward_key_value")
+    gen = params_mod.detect_generation()
+    rng = np.random.default_rng(0)
+    d_pad = round_up(head_dim, 128)
+    mk = lambda shp: jnp.asarray(rng.standard_normal(shp), dtype)
+    q, k, v = mk((heads, seq, d_pad)), mk((heads, seq, d_pad)), mk((heads, seq, d_pad))
+    o, do = mk((heads, seq, d_pad)), mk((heads, seq, d_pad))
+    lse = jnp.zeros((heads, seq, flash_fwd.LANES), jnp.float32) + float(seq)
+    dterm = jnp.zeros_like(lse)
+    flops = attention_flops(kernel, seq, seq, head_dim,
+                            batch_heads=heads, causal=causal)
+
+    desc = AttentionDescriptor(
+        batch=1, num_q_heads=heads, num_kv_heads=heads,
+        seq_len_q=seq, seq_len_kv=seq, head_dim=head_dim, causal=causal,
+        low_precision_inputs=dtype == jnp.bfloat16,
+    )
+    ktype = (AttentionKernelType.BACKWARD_QUERY
+             if kernel == "backward_query"
+             else AttentionKernelType.BACKWARD_KEY_VALUE)
+    base_kd = desc.kernel_descriptor(ktype, gen)
+
+    results = []
+    in_bytes = jnp.dtype(dtype).itemsize
+    for row in candidate_rows(head_dim, in_bytes, kernel, gen,
+                              bq_set=bq_set, bkv_set=bkv_set):
+        kd = dataclasses.replace(
+            base_kd, block_q=min(row.block_q, seq),
+            block_kv=min(row.block_kv, seq), block_d=row.block_d)
+        try:
+            if kernel == "backward_query":
+                fn = flash_bwd.build_bwd_query(
+                    kd, batch_heads=heads, kv_batch_heads=heads,
+                    seq_len_q=seq, seq_len_kv=seq, d_pad=d_pad,
+                    scale=desc.softmax_scale,
+                    q_dtype=dtype, kv_dtype=dtype)
+                step = lambda x: fn(x, k, v, o, do, lse)[0].astype(dtype)
+                init = q
+            else:
+                fn = flash_bwd.build_bwd_key_value(
+                    kd, batch_heads=heads, kv_batch_heads=heads,
+                    seq_len_q=seq, seq_len_kv=seq, d_pad=d_pad,
+                    scale=desc.softmax_scale,
+                    q_dtype=dtype, kv_dtype=dtype)
+
+                def step(kv, fn=fn):
+                    dk, dv = fn(q, kv[0], kv[1], do, lse, dterm)
+                    return (dk.astype(dtype), dv.astype(dtype))
+
+                init = (k, v)
+            res = measure_chained(step, init, flops, 0, generation=gen,
+                                  trials=3, n_small=2, n_big=10)
+        except Exception as e:  # noqa: BLE001 — candidate may not compile
+            verbose(f"  bq={row.block_q:5d} bkv={row.block_kv:5d} "
+                    f"bd={row.block_d:4d}  FAILED {type(e).__name__}")
+            continue
+        results.append((res.tflops, kd))
+        verbose(f"  bq={kd.block_q:5d} bkv={kd.block_kv:5d} bd={kd.block_d:4d}"
+                f"  {res.tflops:7.1f} TFLOP/s  util {res.compute_bound_utilization:.3f}")
+    results.sort(key=lambda t: -t[0])
+    return results
+
+
 def main():
     import argparse
 
@@ -99,10 +173,17 @@ def main():
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--kernel", default="forward",
+                    choices=["forward", "backward_query",
+                             "backward_key_value"])
     args = ap.parse_args()
 
-    print(f"# tuning forward D={args.d} N={args.n} heads={args.heads}")
-    results = tune_forward(args.d, args.n, args.heads, causal=args.causal)
+    print(f"# tuning {args.kernel} D={args.d} N={args.n} heads={args.heads}")
+    if args.kernel == "forward":
+        results = tune_forward(args.d, args.n, args.heads, causal=args.causal)
+    else:
+        results = tune_backward(args.kernel, args.d, args.n, args.heads,
+                                causal=args.causal)
     if results:
         best = results[0][1]
         print(f"# best row:  {args.d} | {best.block_q} | {best.block_kv} "
