@@ -203,6 +203,29 @@ def _mlp(layer, x, dtype):
 # ---------------------------------------------------------------------------
 
 
+def _layer_apply(layer, x, positions, inv_freq, cfg: LlamaConfig, dtype,
+                 interpret=None, return_kv=False):
+    """One transformer block (attn + MLP, pre-norm residual), shape-
+    preserving — the unit shared by the serial forward and the pipeline
+    stage function. ``return_kv`` also yields the roped K and raw V (for
+    prefill cache appends)."""
+    b, t, _ = x.shape
+    h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    q, k, v = _project_qkv(layer, h, cfg, dtype)
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+    o = flash_attention(q, k, v, causal=True,
+                        sliding_window=cfg.sliding_window,
+                        interpret=interpret)
+    o = jnp.swapaxes(o, 1, 2).reshape(b, t, cfg.n_heads * cfg.head_dim)
+    x = x + _matmul(o, layer["wo"], dtype)
+    h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    x = x + _mlp(layer, h, dtype)
+    if return_kv:
+        return x, (k, v)
+    return x
+
+
 def forward(params, cfg: LlamaConfig, tokens, *, positions=None,
             caches=None, interpret=None):
     """Full forward over [B, T] tokens → logits [B, T, vocab].
@@ -223,19 +246,14 @@ def forward(params, cfg: LlamaConfig, tokens, *, positions=None,
     x = params["embed"][tokens]
     new_caches = [] if caches is not None else None
     for li, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q, k, v = _project_qkv(layer, h, cfg, dtype)
-        q = apply_rope(q, positions, inv_freq)
-        k = apply_rope(k, positions, inv_freq)
         if caches is not None:
+            x, (k, v) = _layer_apply(layer, x, positions, inv_freq, cfg,
+                                     dtype, interpret=interpret,
+                                     return_kv=True)
             new_caches.append(kv_cache_mod.update(caches[li], k, v))
-        o = flash_attention(q, k, v, causal=True,
-                            sliding_window=cfg.sliding_window,
-                            interpret=interpret)
-        o = jnp.swapaxes(o, 1, 2).reshape(b, t, cfg.n_heads * cfg.head_dim)
-        x = x + _matmul(o, layer["wo"], dtype)
-        h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        x = x + _mlp(layer, h, dtype)
+        else:
+            x = _layer_apply(layer, x, positions, inv_freq, cfg, dtype,
+                             interpret=interpret)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     head = params.get("lm_head")
@@ -282,6 +300,66 @@ def decode_step(params, cfg: LlamaConfig, tokens, caches, *, interpret=None):
     else:
         logits = _matmul(x[:, 0], head, dtype).astype(jnp.float32)
     return logits, new_caches
+
+
+def stack_layer_params(params, n_stages: int):
+    """Split the layer list into ``n_stages`` equal stages and stack each
+    stage's layers along a leading axis, then stack stages: every leaf gains
+    leading dims [n_stages, layers_per_stage] for ``P("pp", ...)`` sharding
+    (parallel/pipeline.py). Quantized weights are pytrees and stack too."""
+    layers = params["layers"]
+    if len(layers) % n_stages:
+        raise ValueError(
+            f"{len(layers)} layers not divisible into {n_stages} stages")
+    per = len(layers) // n_stages
+    stages = [
+        jax.tree.map(lambda *xs: jnp.stack(xs), *layers[s * per:(s + 1) * per])
+        for s in range(n_stages)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+
+
+def forward_pipelined(params, cfg: LlamaConfig, tokens, *, mesh,
+                      num_microbatches: int, stacked_layers=None,
+                      interpret=None):
+    """Forward with the transformer stack pipelined over the mesh's "pp"
+    axis (GPipe microbatches over the batch dim; parallel/pipeline.py).
+
+    Embedding and the LM head run outside the pipeline (replicated — they
+    are a small share of 8B FLOPs). ``stacked_layers`` may be passed
+    pre-sharded via :func:`parallel.pipeline.shard_stacked` to avoid
+    re-stacking per step.
+    """
+    from mfa_tpu.parallel.pipeline import pipeline_apply
+
+    dtype = params["embed"].dtype
+    b, t = tokens.shape
+    n_stages = mesh.shape["pp"]
+    if stacked_layers is None:
+        stacked_layers = stack_layer_params(params, n_stages)
+    positions = jnp.arange(t)[None, :]          # broadcast over microbatch
+    inv_freq = rope_frequencies(cfg)
+
+    def stage_fn(stage_params, x, positions, inv_freq):
+        # stage_params leaves: [layers_per_stage, ...] — scan the block.
+        def body(x, layer):
+            return _layer_apply(layer, x, positions, inv_freq, cfg, dtype,
+                                interpret=interpret), None
+        x, _ = jax.lax.scan(body, x, stage_params)
+        return x
+
+    x = params["embed"][tokens]
+    x = pipeline_apply(
+        stage_fn, stacked_layers, x,
+        mesh=mesh, num_microbatches=num_microbatches,
+        extra=(positions, inv_freq),
+    )
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        return jnp.dot(x, params["embed"].T,
+                       preferred_element_type=jnp.float32)
+    return _matmul(x, head, dtype).astype(jnp.float32)
 
 
 def make_caches(cfg: LlamaConfig, batch: int, max_len: int,
