@@ -127,12 +127,15 @@ def _bwd_q_kernel(
         block_needs_mask = None
 
     fp32_in = q_ref.dtype == jnp.float32
+    # Residency policy for the pre-scaled Q slab (see flash_fwd; the
+    # vmem-resident operand list of the parameter table drives this).
+    q_resident = "Q" in kd.vmem_resident
 
     @pl.when(block_live)
     def _body():
         # Pre-scale Q (bf16 path) exactly like the forward kernel — one
         # (bq, d) multiply replaces a (bq, bkv) one.
-        if fp32_in:
+        if fp32_in or not q_resident:
             q = q_ref[0]
         else:
             q = (q_ref[0].astype(jnp.float32) * scale2).astype(q_ref.dtype)
@@ -141,8 +144,11 @@ def _bwd_q_kernel(
 
         def qk(db):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            q_sl = q[:, sl]
+            if not fp32_in and not q_resident:
+                q_sl = (q_sl.astype(jnp.float32) * scale2).astype(q_ref.dtype)
             return jax.lax.dot_general(
-                q[:, sl], k[:, sl],
+                q_sl, k[:, sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_prec,
@@ -188,7 +194,9 @@ def _bwd_q_kernel(
         if kd.logit_soft_cap is not None:
             ds = ds * cap_grad
         ds = ds * scale
-        ds_cast = ds.astype(k.dtype if kd.kv_precision.bits <= 16 else jnp.float32)
+        # dS register precision from the policy (reference: dS BF16 only with
+        # native BF16 FMA, Precisions.swift:200 — native on every TPU).
+        ds_cast = ds.astype(kd.register_dtype(kd.ds_register, k.dtype))
         for db in range(nd):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
             acc_scr[:, sl] += jax.lax.dot_general(
@@ -330,6 +338,10 @@ def _bwd_kv_kernel(
         return cm
 
     fp32_in = q_ref.dtype == jnp.float32
+    # For this kernel the table's residency list names K/V (the operands the
+    # column-parallel pass holds across its whole traversal); "K" resident
+    # also gates the extra pre-scaled Q slab the S matmul wants.
+    q_resident = bool(kd.vmem_resident)
 
     @pl.when(block_live)
     def _body():
@@ -337,7 +349,7 @@ def _bwd_kv_kernel(
         q = q_ref[0]
         # Pre-scaled copy feeds the S matmul only — dK's dS^T·Q contraction
         # must see the raw Q.
-        if fp32_in:
+        if fp32_in or not q_resident:
             qs = q
         else:
             qs = (q.astype(jnp.float32) * scale2).astype(q_ref.dtype)
@@ -347,8 +359,11 @@ def _bwd_kv_kernel(
         # feed the MXU directly (no materialized S^T, unlike the reference).
         def qk(db):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            q_sl = qs[:, sl]
+            if not fp32_in and not q_resident:
+                q_sl = (q_sl.astype(jnp.float32) * scale2).astype(q_ref.dtype)
             return jax.lax.dot_general(
-                qs[:, sl], k[:, sl],
+                q_sl, k[:, sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_prec,
@@ -376,8 +391,7 @@ def _bwd_kv_kernel(
 
         d_o = do_ref[0]
         v = v_ref[0]
-        in_lo = kd.kv_precision.bits <= 16
-        p_cast = p.astype(k.dtype if in_lo else jnp.float32)
+        p_cast = p.astype(kd.register_dtype(kd.p_register, k.dtype))
 
         # dV += P^T dO — contract over rows (dim 0 of both operands).
         for db in range(nd):
@@ -407,7 +421,7 @@ def _bwd_kv_kernel(
         if kd.logit_soft_cap is not None:
             ds = ds * cap_grad
         ds = ds * scale
-        ds_cast = ds.astype(k.dtype if in_lo else jnp.float32)
+        ds_cast = ds.astype(kd.register_dtype(kd.ds_register, k.dtype))
 
         # dK += dS^T Q — contract over rows.
         for db in range(nd):

@@ -126,6 +126,14 @@ def _fwd_kernel(
     else:
         block_needs_mask = None   # statically never
 
+    # Residency policy (the table's vmem-resident operand list,
+    # AttentionKernel+Caching.swift:18-281 recast): with "Q" resident the
+    # pre-scaled Q slab is materialized once and held across the traversal
+    # loop (one extra (bq, d) VMEM slab, minimum VPU work); without it each
+    # d-block slice is re-scaled on the fly (no slab, one extra multiply per
+    # qk contraction) — the low-VMEM fallback the unbounded table rows use.
+    q_resident = "Q" in kd.vmem_resident
+
     @pl.when(block_live)
     def _body():
         # Pre-scale Q once per (bq, d) block — folds the softmax scale and
@@ -133,7 +141,7 @@ def _fwd_kernel(
         # saving one VPU op per S element. bf16 rounding of Q·scale is well
         # inside the 5e-2 mixed budget; the fp32 path scales S instead to
         # preserve the 2e-5 budget.
-        if fp32_in:
+        if fp32_in or not q_resident:
             q = q_ref[0]
         else:
             q = (q_ref[0].astype(jnp.float32) * scale2).astype(q_ref.dtype)
@@ -144,8 +152,11 @@ def _fwd_kernel(
 
         def qk(db):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+            q_sl = q[:, sl]
+            if not fp32_in and not q_resident:
+                q_sl = (q_sl.astype(jnp.float32) * scale2).astype(q_ref.dtype)
             return jax.lax.dot_general(
-                q[:, sl], k[:, sl],
+                q_sl, k[:, sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_prec,
@@ -182,7 +193,10 @@ def _fwd_kernel(
         m_scr[...] = m_new
 
         # --- O accumulation: acc = acc*corr + P V, paged over d blocks ---
-        p_cast = p.astype(v_ref.dtype if kd.kv_precision.bits <= 16 else jnp.float32)
+        # P's MXU-input precision comes from the register policy
+        # (kd.p_register ← PrecisionPolicy.register[P], the analogue of the
+        # reference's "P FP16" register rule, Precisions.swift:197-200).
+        p_cast = p.astype(kd.register_dtype(kd.p_register, v_ref.dtype))
         v = v_ref[0]
         for db in range(nd):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)

@@ -32,6 +32,7 @@ from mfa_tpu.ops.descriptors import (
     AttentionKernelType,
     round_up,
 )
+from mfa_tpu.ops.precision import AttentionOperand
 
 
 @dataclass(frozen=True)
@@ -41,6 +42,10 @@ class _AttnConfig:
     logit_soft_cap: float | None
     sliding_window: int | None
     interpret: bool
+    # None → follow low_precision_inputs (BF16 inputs keep a BF16 O in HBM;
+    # FP32 inputs keep FP32). Explicit False forces the reference's
+    # "O always FP32 in memory" training rule (Precisions.swift:140-143).
+    low_precision_intermediates: bool | None = None
 
 
 def _auto_interpret() -> bool:
@@ -53,6 +58,8 @@ def _descriptor(q, k, v, cfg: _AttnConfig) -> AttentionDescriptor:
     b, hq, r, d = q.shape
     _, hkv, c, _ = k.shape
     low = q.dtype in (jnp.bfloat16, jnp.float16)
+    lpi = (cfg.low_precision_intermediates
+           if cfg.low_precision_intermediates is not None else low)
     return AttentionDescriptor(
         batch=b,
         num_q_heads=hq,
@@ -65,6 +72,7 @@ def _descriptor(q, k, v, cfg: _AttnConfig) -> AttentionDescriptor:
         logit_soft_cap=cfg.logit_soft_cap,
         sliding_window=cfg.sliding_window,
         low_precision_inputs=low,
+        low_precision_intermediates=lpi,
     )
 
 
@@ -173,7 +181,11 @@ def _run_forward(q, k, v, cfg):
     k3 = _pad3(_fold(k), c_pad, d_pad)
     v3 = _pad3(_fold(v), c_pad, d_pad)
 
-    o_dtype = q.dtype
+    # O memory precision follows the policy's O rule (Precisions.swift:140-143
+    # recast): low_precision_intermediates → O in the input's 16-bit family,
+    # else FP32 in HBM (the fp32 accumulator is written out unrounded).
+    policy = desc.precision_policy()
+    o_dtype = q.dtype if policy.mem(AttentionOperand.O).bits <= 16 else jnp.float32
     fwd = _get_fwd(desc, kd, q, k, o_dtype, cfg)
     o_pad, l_pad = fwd(q3, k3, v3)
     b, hq, r, d = q.shape
@@ -335,18 +347,23 @@ def flash_attention(
     sliding_window: int | None = None,
     interpret: bool | None = None,
     with_lse: bool = False,
+    low_precision_intermediates: bool | None = None,
 ):
     """Flash attention over [batch, heads, seq, head_dim] operands.
 
     GQA/MQA: ``k``/``v`` may have fewer heads than ``q`` (must divide).
     Differentiable (two-kernel atomics-free backward). ``with_lse`` also
     returns the per-row natural-log logsumexp L (not differentiable path).
+    ``low_precision_intermediates``: None follows the input precision class;
+    False forces O to FP32 in HBM (the training-side rule the reference
+    hardcodes, Precisions.swift:140-143); True keeps O in the 16-bit family.
     """
     if interpret is None:
         interpret = _auto_interpret()
     cfg = _AttnConfig(
         causal=causal, scale=scale, logit_soft_cap=logit_soft_cap,
         sliding_window=sliding_window, interpret=interpret,
+        low_precision_intermediates=low_precision_intermediates,
     )
     if with_lse:
         o, (_, _, _, _, l_pad) = _run_forward(q, k, v, cfg)

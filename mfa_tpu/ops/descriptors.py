@@ -141,6 +141,8 @@ class AttentionDescriptor:
             q_precision=policy.mem(AttentionOperand.Q),
             kv_precision=policy.mem(AttentionOperand.K),
             o_precision=policy.mem(AttentionOperand.O),
+            p_register=policy.reg(AttentionOperand.P),
+            ds_register=policy.reg(AttentionOperand.dS),
             vmem_resident=row.vmem_resident,
             generation=gen.name,
         )
@@ -163,14 +165,42 @@ class AttentionKernelDescriptor:
     q_precision: OperandPrecision
     kv_precision: OperandPrecision
     o_precision: OperandPrecision
-    vmem_resident: tuple
-    generation: str
+    # Register (MXU-input) precisions for the virtual operands, resolved from
+    # the PrecisionPolicy (reference: registerPrecisions,
+    # AttentionDescriptor+Precisions.swift:180-215). Consumed by the kernel
+    # builders for the P → PV and dS → dQ/dK cast decisions.
+    p_register: OperandPrecision = OperandPrecision.BF16
+    ds_register: OperandPrecision = OperandPrecision.BF16
+    vmem_resident: tuple = ()
+    generation: str = "cpu"
+    # In-kernel traversal sub-tile (MXU/VPU software-pipelining): the online
+    # softmax runs per sub-tile of the streamed KV block, so the next
+    # sub-tile's S matmul (MXU) is data-independent of the current one's
+    # softmax (VPU) and Mosaic's VLIW scheduler can overlap them. Without
+    # it, the row-max over the whole (block_q, block_kv) S tile serializes
+    # MXU → VPU → MXU once per block. 0 = no sub-tiling (one tile).
+    block_kv_inner: int = 512
 
     @property
     def d_blocked(self) -> bool:
         """True when the head dim is traversed in blocks (the reference's
         third block dimension, README.md:13)."""
         return self.block_d < _round_up(self.head_dim, 128)
+
+    def register_dtype(self, reg: OperandPrecision, operand_dtype):
+        """Resolve a register precision against the actual operand dtype.
+
+        A 16-bit register precision materializes in the operand's own 16-bit
+        family (so FP16 inputs keep an FP16 MXU pass rather than a promoted
+        mixed one); a 32-bit register precision forces FP32. This is the
+        analogue of the reference's rule that S/P register precision may only
+        drop to FP16 when the inputs are FP16 (Precisions.swift:197-200).
+        """
+        import jax.numpy as jnp
+
+        if reg.bits > 16 or jnp.dtype(operand_dtype).itemsize > 2:
+            return jnp.float32
+        return operand_dtype
 
 
 # ---------------------------------------------------------------------------

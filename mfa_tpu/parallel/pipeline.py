@@ -66,13 +66,30 @@ def pipeline_apply(
     - ``extra``: broadcast side inputs (e.g. rope tables), replicated.
 
     Returns activations of the same shape as ``x``, replicated over "pp".
+
+    Composition with data parallelism: when the mesh has a ``dp`` axis of
+    size > 1, the microbatch dim is sharded ``P(None, "dp")`` so each dp
+    replica pipelines its own slice of every microbatch — dp and pp compose
+    multiplicatively (locked by tests/test_pipeline.py::test_pipeline_with_dp).
     """
+    if "pp" not in mesh.axis_names:
+        raise ValueError(
+            f"pipeline_apply needs a 'pp' mesh axis; mesh has "
+            f"{mesh.axis_names} (build one with parallel.mesh.make_mesh)")
     n_stages = mesh.shape["pp"]
     if x.shape[0] % num_microbatches:
         raise ValueError(
             f"batch {x.shape[0]} not divisible into {num_microbatches} "
             "microbatches")
     mb = x.shape[0] // num_microbatches
+    dp = mesh.shape.get("dp", 1)
+    if dp > 1 and mb % dp:
+        raise ValueError(
+            f"microbatch size {mb} not divisible by dp={dp}")
+    # Shard the example dim of every microbatch over dp (replicate when the
+    # mesh has no dp axis): each dp replica runs the pipeline on its own
+    # examples — no redundant compute, standard dp speedup.
+    x_spec = P(None, "dp") if dp > 1 else P()
     xs = x.reshape((num_microbatches, mb) + x.shape[1:])
 
     def run(params_local, xs, *extra):
@@ -103,19 +120,30 @@ def pipeline_apply(
         buf0 = jnp.zeros_like(xs)
         _, buf = lax.fori_loop(
             0, num_microbatches + n_stages - 1, step, (carry0, buf0))
-        # Broadcast the last stage's buffer to every stage (psum of the
-        # one non-zero contribution — a single all-reduce at pipeline exit).
+        # Broadcast the last stage's buffer to every pp stage. Only the last
+        # stage holds non-zero data, so this single exit psum IS what makes
+        # out_specs' pp-replication contract true (see check_vma note below).
+        # Cost: one allreduce of the output activations — O(batch·seq·dim)
+        # once per pipeline invocation. Callers that only need the output on
+        # one stage (e.g. an lm-head fused into the last stage_fn) should
+        # fold that consumer into stage_fn rather than round-tripping.
         buf = lax.psum(
             jnp.where(s == n_stages - 1, buf, jnp.zeros_like(buf)), "pp")
         return buf
 
-    # Non-"pp" mesh axes are untouched: inputs/outputs replicated over them.
+    # Non-"pp"/"dp" mesh axes are untouched: replicated.
     pspec = _stage_spec(stacked_params)
-    in_specs = (pspec, P()) + ((extra_spec,) * len(extra))
+    in_specs = (pspec, x_spec) + ((extra_spec,) * len(extra))
+    # check_vma=False: the loop carries pp-varying values (stage identity
+    # enters via axis_index), which shard_map's varying-manual-axes checker
+    # rejects wholesale. The out_specs P()-over-pp replication contract is
+    # enforced manually by the exit psum above — any edit that removes or
+    # reorders that psum breaks replication silently, so it is locked by
+    # tests/test_pipeline.py::test_pipeline_matches_serial.
     out = jax.shard_map(
         run, mesh=mesh,
         in_specs=in_specs,
-        out_specs=P(),
+        out_specs=x_spec,
         check_vma=False,
     )(stacked_params, xs, *extra)
     return out.reshape(x.shape)

@@ -81,6 +81,16 @@ def _ring_forward(q, k, v, cfg: _RingConfig):
         o_acc, lse_acc, kc, vc = carry
         src = (my - s) % n               # owner of the chunk we now hold
 
+        # Double-buffered rotation: issue the ppermute of the chunk we
+        # already hold BEFORE computing on it. The permuted values (kn, vn)
+        # have no data dependency on the attention below, so XLA's async
+        # collective-permute + latency-hiding scheduler can run the transfer
+        # under the compute — step time → max(compute, transfer), not the
+        # sum (SURVEY hard-part 4; enable the flags in
+        # parallel.multihost.ICI_OVERLAP_XLA_FLAGS on real slices).
+        kn = _rotate(kc, cfg.axis_name, n)
+        vn = _rotate(vc, cfg.axis_name, n)
+
         if cfg.causal:
             def full(_):
                 return local_attn(kc, vc, False)
@@ -98,9 +108,7 @@ def _ring_forward(q, k, v, cfg: _RingConfig):
             o_p, lse_p = local_attn(kc, vc, False)
 
         o_acc, lse_acc = _merge(o_acc, lse_acc, o_p, lse_p)
-        kc = _rotate(kc, cfg.axis_name, n)
-        vc = _rotate(vc, cfg.axis_name, n)
-        return (o_acc, lse_acc, kc, vc), None
+        return (o_acc, lse_acc, kn, vn), None
 
     o0 = jnp.zeros((b, h, t, d), jnp.float32)
     lse0 = jnp.full((b, h, t), -jnp.inf, jnp.float32)
@@ -133,9 +141,28 @@ def _ring_bwd_rule(cfg, res, g):
         return (dq_c.astype(jnp.float32), dk_c.astype(jnp.float32),
                 dv_c.astype(jnp.float32))
 
+    # Traveling-accumulator precision: fp32 inputs keep the 1e-5 ring-parity
+    # budget; bf16/fp16 inputs travel their dK/dV partial sums in bf16 —
+    # halving the backward's extra comm volume (round-1 VERDICT item 6: the
+    # fp32 accumulators tripled ring traffic). Per-hop rounding of same-
+    # magnitude partial sums adds ~sqrt(n)·2^-8 relative error, well inside
+    # the 5e-2 mixed budget (locked by tests/test_ring_bwd.py bf16 case).
+    travel_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+
     def step(carry, s):
         kc, vc, dk_acc, dv_acc, dq_acc = carry
         src = (my - s) % n
+
+        # Overlap structure (two different windows):
+        # - K/V rotate BEFORE the compute: their transfer hides under THIS
+        #   step's two backward kernels (kn/vn are only read next step).
+        # - dK/dV accumulators must absorb this step's contribution first
+        #   (they travel WITH their chunk), so they rotate after the add —
+        #   but nothing in the NEXT step reads them until its own final
+        #   add, so their transfer hides under the next step's compute.
+        # Net: every ppermute has a full compute step to complete.
+        kn = _rotate(kc, cfg.axis_name, n)
+        vn = _rotate(vc, cfg.axis_name, n)
 
         if cfg.causal:
             def full(_):
@@ -145,8 +172,9 @@ def _ring_bwd_rule(cfg, res, g):
                 return chunk_grads(kc, vc, True)
 
             def skip(_):
-                return (jnp.zeros_like(dq_acc), jnp.zeros_like(dk_acc),
-                        jnp.zeros_like(dv_acc))
+                return (jnp.zeros_like(dq_acc),
+                        jnp.zeros(k.shape, jnp.float32),
+                        jnp.zeros(k.shape, jnp.float32))
 
             branch = jnp.int32(0) + (src == my) + 2 * (src > my)
             dq_c, dk_c, dv_c = jax.lax.switch(branch, [full, diag, skip],
@@ -155,17 +183,15 @@ def _ring_bwd_rule(cfg, res, g):
             dq_c, dk_c, dv_c = chunk_grads(kc, vc, False)
 
         dq_acc = dq_acc + dq_c
-        dk_acc = dk_acc + dk_c
-        dv_acc = dv_acc + dv_c
-        # Rotate the chunk together with its traveling gradient
-        # accumulators; after n steps both arrive back at the owner.
-        kc = _rotate(kc, cfg.axis_name, n)
-        vc = _rotate(vc, cfg.axis_name, n)
+        # fp32 add of this chunk's contribution, then travel-dtype cast for
+        # the wire; after n hops the accumulator arrives home fully summed.
+        dk_acc = (dk_acc.astype(jnp.float32) + dk_c).astype(travel_dtype)
+        dv_acc = (dv_acc.astype(jnp.float32) + dv_c).astype(travel_dtype)
         dk_acc = _rotate(dk_acc, cfg.axis_name, n)
         dv_acc = _rotate(dv_acc, cfg.axis_name, n)
-        return (kc, vc, dk_acc, dv_acc, dq_acc), None
+        return (kn, vn, dk_acc, dv_acc, dq_acc), None
 
-    zeros_kv = jnp.zeros(k.shape, jnp.float32)
+    zeros_kv = jnp.zeros(k.shape, travel_dtype)
     zeros_q = jnp.zeros(q.shape, jnp.float32)
     (kc, vc, dk, dv, dq), _ = jax.lax.scan(
         step, (k, v, zeros_kv, zeros_kv, zeros_q), jnp.arange(n), length=n

@@ -28,7 +28,11 @@ from mfa_tpu.models import llama
 from mfa_tpu.ops.decode import paged_decode_attention
 from mfa_tpu.ops.precision import OperandPrecision
 from mfa_tpu.serving.kv_cache import _quantize_for
-from mfa_tpu.serving.paged_kv_cache import PAGE_SIZE, PagedKVCache
+from mfa_tpu.serving.paged_kv_cache import (
+    PAGE_SIZE,
+    PagedKVCache,
+    splice_pages,
+)
 from mfa_tpu.serving.sampling import sample
 from mfa_tpu.serving.scheduler import Completion, Request, _bucket
 
@@ -180,6 +184,60 @@ class PagedScheduler:
     def _pages_needed(self, tokens: int) -> int:
         return (tokens + PAGE_SIZE - 1) // PAGE_SIZE
 
+    def _splice_prefill_all(self, slot: int, t: int, caches1):
+        """Write a prefill's K/V into the page pools of ALL layers with ONE
+        jitted device call (per bucket shape): the prompt KV never touches
+        the host and admission cost is O(1) dispatches, not O(layers·pages)
+        cache splices (round-1 VERDICT weak item 7).
+
+        Host side only assigns page ids; ``splice_pages`` does the writes.
+        """
+        n_pages = self._pages_needed(t)
+        t_pad = n_pages * PAGE_SIZE
+        page_ids = []
+        for c in self.caches:
+            c._ensure_capacity(slot, t)
+            page_ids.append(c.page_tables[slot, :n_pages])
+            c.lengths[slot] = t
+        page_ids = jnp.asarray(np.stack(page_ids), jnp.int32)     # [L, n]
+
+        if "splice" not in self._prefill_fns:
+            self._prefill_fns["splice"] = {}
+        key = t_pad
+        if key not in self._prefill_fns["splice"]:
+            d = self.cfg.head_dim
+            d_pad = self.caches[0].pool.head_dim_padded
+
+            @jax.jit
+            def splice_all(pools, page_ids, layer_caches, true_len):
+                new_pools = []
+                for li, pool in enumerate(pools):
+                    kv = []
+                    for buf in (layer_caches[li].k, layer_caches[li].v):
+                        # Bucket may be shorter than the page-aligned span
+                        # (bucket 64 < one page): slice what exists, pad out.
+                        x = buf[0, :, :t_pad, :d].astype(jnp.float32)
+                        if x.shape[1] < t_pad:
+                            x = jnp.pad(
+                                x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
+                        # Zero the positions past the true prompt length so
+                        # the page tails hold zeros, not stale bucket junk.
+                        pos = jnp.arange(t_pad)[None, :, None]
+                        x = jnp.where(pos < true_len, x, 0.0)
+                        kv.append(jnp.pad(x, ((0, 0), (0, 0),
+                                              (0, d_pad - d))))
+                    new_pools.append(
+                        splice_pages(pool, page_ids[li], kv[0], kv[1]))
+                return new_pools
+
+            self._prefill_fns["splice"][key] = splice_all
+
+        pools = [c.pool for c in self.caches]
+        new_pools = self._prefill_fns["splice"][key](
+            pools, page_ids, caches1, jnp.int32(t))
+        for c, p in zip(self.caches, new_pools):
+            c.pool = p
+
     def _admit(self):
         for slot in [i for i, s in enumerate(self.slots) if s is None]:
             if not self.queue:
@@ -198,11 +256,7 @@ class PagedScheduler:
             tokens[:t] = req.prompt
             last_logits, caches1 = self._prefill_fn(bucket)(
                 self.params, jnp.asarray(tokens), t)
-            for li, c in enumerate(self.caches):
-                k = caches1[li].k[0, :, :t].astype(jnp.float32)
-                v = caches1[li].v[0, :, :t].astype(jnp.float32)
-                c.append(slot, k[..., : self.cfg.head_dim],
-                         v[..., : self.cfg.head_dim])
+            self._splice_prefill_all(slot, t, caches1)
             tok = int(sample(last_logits[None, :], self._next_key(),
                              temperature=self.temperature)[0])
             self.slots[slot] = {"request": req, "generated": [tok],

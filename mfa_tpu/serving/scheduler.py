@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from functools import partial
 from typing import Callable
 
 import jax
@@ -96,9 +95,7 @@ class ContinuousBatchingScheduler:
         self.stats = {"prefills": 0, "decode_steps": 0, "tokens": 0}
 
         self._prefill_fns: dict = {}
-        self._decode_fn = jax.jit(
-            partial(llama.decode_step, cfg=cfg)
-        ) if False else None  # built lazily (partial kwargs vs jit static)
+        self._decode_fn = None   # built lazily on first decode step
 
     # -- jitted steps -----------------------------------------------------
 

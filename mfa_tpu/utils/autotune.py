@@ -165,6 +165,88 @@ def tune_backward(kernel: str, head_dim: int = 128, seq: int = 4096,
     return results
 
 
+def gemm_candidates(m: int, n: int, k: int, in_bytes: int,
+                    generation: params_mod.TpuGeneration):
+    """Enumerate (bm, bn, bk) GEMM block candidates under the VMEM budget —
+    the analogue of the reference's 4-candidate occupancy search
+    (GEMMDescriptor+PipelineCache.swift:75-119 / GEMMShaderCache.cpp:75-160),
+    widened because TPU block space is larger than {48x48x24, 48x48x32}."""
+    budget = generation.vmem_bytes * 0.7
+    seen = set()
+    for bm in (128, 256, 512):
+        for bn in (128, 256, 512):
+            for bk in (128, 256, 512, 1024):
+                bm_c = min(bm, round_up(m, 128))
+                bn_c = min(bn, round_up(n, 128))
+                bk_c = min(bk, round_up(k, 128))
+                if (bm_c, bn_c, bk_c) in seen:
+                    continue
+                seen.add((bm_c, bn_c, bk_c))
+                vmem = (bm_c * bn_c * 4
+                        + 2 * in_bytes * bk_c * (bm_c + bn_c))
+                if vmem <= budget:
+                    yield bm_c, bn_c, bk_c
+
+
+def tune_gemm(m: int = 1536, n: int = 1536, k: int = 1536,
+              dtype=jnp.bfloat16, verbose=print):
+    """Sweep GEMM block shapes and compare against XLA's native matmul.
+
+    Returns (results, xla_tflops): results sorted best-first as
+    [(tflops, (bm, bn, bk)), ...]; the reference benchmarks its GEMM the
+    same way at 512^3 / 1488^3 / 1489^3 (CppReference/main.cpp:23-43).
+    """
+    import dataclasses as _dc
+
+    from mfa_tpu.kernels import gemm_kernel
+    from mfa_tpu.ops.descriptors import GEMMDescriptor
+    from mfa_tpu.ops.precision import OperandPrecision
+
+    gen = params_mod.detect_generation()
+    rng = np.random.default_rng(0)
+    m_pad, n_pad, k_pad = (round_up(x, 128) for x in (m, n, k))
+    a = jnp.asarray(rng.standard_normal((1, m_pad, k_pad)), dtype)
+    b = jnp.asarray(rng.standard_normal((1, k_pad, n_pad)), dtype)
+    flops = 2.0 * m * n * k
+
+    # Chained timing feeds C back as A, which needs a square problem; other
+    # shapes use the dispatch-differential protocol.
+    square = m_pad == k_pad == n_pad
+
+    def bench(call):
+        if square:
+            return measure_chained(lambda x: call(x, b).astype(dtype),
+                                   a, flops, 0, generation=gen, trials=3)
+        return measure(jax.jit(call), (a, b), flops, 0, generation=gen)
+
+    # Baseline: XLA-native matmul (what we must match or beat).
+    xla_res = bench(lambda x, y: jnp.einsum("bmk,bkn->bmn", x, y))
+    verbose(f"  XLA native: {xla_res.tflops:7.1f} TFLOP/s")
+
+    prec = OperandPrecision.from_dtype(dtype)
+    desc = GEMMDescriptor(m=m, n=n, k=k, a_precision=prec, b_precision=prec,
+                          c_precision=prec)
+    base_kd = desc.kernel_descriptor(gen)
+
+    results = []
+    for bm, bn, bk in gemm_candidates(m, n, k, jnp.dtype(dtype).itemsize, gen):
+        kd = _dc.replace(base_kd, block_m=bm, block_n=bn, block_k=bk)
+        try:
+            fn = gemm_kernel.build_gemm(
+                kd, batch=1, m=m_pad, n=n_pad, k=k_pad,
+                a_dtype=dtype, b_dtype=dtype, c_dtype=dtype)
+            res = bench(fn)
+        except Exception as e:  # noqa: BLE001 — candidate may not compile
+            verbose(f"  bm={bm:4d} bn={bn:4d} bk={bk:4d}  FAILED "
+                    f"{type(e).__name__}")
+            continue
+        results.append((res.tflops, (bm, bn, bk)))
+        verbose(f"  bm={bm:4d} bn={bn:4d} bk={bk:4d}  {res.tflops:7.1f} "
+                f"TFLOP/s  vs-XLA {res.tflops / xla_res.tflops:.3f}")
+    results.sort(key=lambda t: -t[0])
+    return results, xla_res.tflops
+
+
 def main():
     import argparse
 
@@ -173,14 +255,23 @@ def main():
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--m", type=int, default=1536)
+    ap.add_argument("--k", type=int, default=1536)
     ap.add_argument("--kernel", default="forward",
                     choices=["forward", "backward_query",
-                             "backward_key_value"])
+                             "backward_key_value", "gemm"])
     args = ap.parse_args()
 
     print(f"# tuning {args.kernel} D={args.d} N={args.n} heads={args.heads}")
     if args.kernel == "forward":
         results = tune_forward(args.d, args.n, args.heads, causal=args.causal)
+    elif args.kernel == "gemm":
+        results, xla = tune_gemm(args.m, args.n, args.k)
+        if results:
+            best_tf, blocks = results[0]
+            print(f"# best gemm blocks {blocks}: {best_tf:.1f} TFLOP/s "
+                  f"({best_tf / xla:.3f} of XLA native)")
+        return
     else:
         results = tune_backward(args.kernel, args.d, args.n, args.heads,
                                 causal=args.causal)

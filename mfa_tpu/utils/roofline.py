@@ -100,12 +100,19 @@ def _sync(out):
 def measure_chained(step_fn, init, flops_per_iter: float,
                     bytes_per_iter: float, name: str = "kernel",
                     trials: int = 3, n_small: int = 4, n_big: int = 36,
+                    min_window_s: float = 0.3,
                     generation: TpuGeneration | None = None) -> BenchResult:
     """On-device chained timing: ONE dispatch runs n kernel iterations via
     ``fori_loop`` (each feeding its output forward), so per-dispatch tunnel
     overhead amortizes away; the slope between two loop lengths removes the
     fixed sync cost. This is the only protocol that gives stable numbers
     over the remote tunnel (dispatch-level timing scatters 3x).
+
+    The chain length self-calibrates: after warmup, n_big is raised until
+    the measured (t_big − t_small) window is at least ``min_window_s`` —
+    tunnel sync jitter is tens of ms, so short chains produce garbage
+    slopes (round-2 sweep post-mortem: 8-iteration diffs ≈ 3.5 ms measured
+    "35 PFLOP/s").
 
     step_fn: x -> x (same shape/dtype), the chained kernel invocation.
     """
@@ -117,8 +124,24 @@ def measure_chained(step_fn, init, flops_per_iter: float,
     def loop(x, n):
         return jax.lax.fori_loop(0, n, lambda i, xx: step_fn(xx), x)
 
-    _sync(loop(init, n_small))   # compile both variants + warm
+    _sync(loop(init, n_small))   # compile + warm the small variant
     _sync(loop(init, n_big))
+
+    # Calibrate: per-iteration time from the SLOPE of two warm chain lengths
+    # (a single run is inflated by the ~30 ms tunnel sync, which would keep
+    # chains too short); then raise n_big until the slope window dominates
+    # sync jitter.
+    t0 = time.perf_counter()
+    _sync(loop(init, n_small))
+    t_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sync(loop(init, n_big))
+    t_b = time.perf_counter() - t0
+    t_est = max((t_b - t_s) / (n_big - n_small), t_b / n_big / 8, 1e-7)
+    need = int(min_window_s / t_est) + n_small
+    if need > n_big:
+        n_big = min(need, 4096)
+        _sync(loop(init, n_big))   # compile + warm the recalibrated variant
 
     slopes = []
     for _ in range(trials):

@@ -67,3 +67,33 @@ def nan_canary(shape, dtype=jnp.float32):
     """Output buffer pre-filled with NaN — catches kernels that silently
     never write (SquareAttentionTest.swift:286)."""
     return jnp.full(shape, jnp.nan, dtype=dtype)
+
+
+def assert_fully_written(out, name: str = "output"):
+    """NaN-output canary check: every element of a buffer initialized via
+    :func:`nan_canary` (or any kernel output) must have been overwritten with
+    a finite value. The TPU analogue of the reference's ``resultO[0] = .nan``
+    probe (SquareAttentionTest.swift:286) — Pallas owns output allocation, so
+    the check runs on the result instead of a prefilled buffer."""
+    a = np.asarray(out, dtype=np.float32)
+    bad = ~np.isfinite(a)
+    if bad.any():
+        idx = tuple(np.argwhere(bad)[0])
+        raise AssertionError(
+            f"{name}: {bad.sum()}/{a.size} elements never written or "
+            f"non-finite (first at {idx})"
+        )
+
+
+def garbage_pad(x, s_pad: int, d_pad: int, rng: np.random.Generator):
+    """Out-of-bounds canary padding (MTLContext+Buffers.swift:9-18): pad the
+    sequence/head tail of a [N, S, D] operand with uniform garbage in
+    [-20, 20] instead of zeros, so any kernel that reads past the declared
+    problem bounds (wrong BlockSpec index map, missing edge mask) corrupts
+    its outputs detectably instead of silently reading zeros."""
+    n, s, d = x.shape
+    if s == s_pad and d == d_pad:
+        return x
+    out = rng.uniform(-20.0, 20.0, size=(n, s_pad, d_pad))
+    out = jnp.asarray(out, dtype=x.dtype)
+    return out.at[:, :s, :d].set(x)

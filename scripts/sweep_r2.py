@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Round-2 on-chip block-shape sweeps: fwd / bwd_q / bwd_kv at D in {64,128,256}.
+
+Resumable: each (kernel, D, bq, bkv, bd) result is appended to
+docs/sweeps/r2_sweep.jsonl as soon as it is measured, so a tunnel outage
+loses at most one candidate. Re-running skips already-measured keys.
+
+Usage:  python scripts/sweep_r2.py [--kernel forward|backward_query|backward_key_value|all]
+                                   [--d 64 128 256] [--n 4096] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mfa_tpu.kernels import flash_bwd, flash_fwd
+from mfa_tpu.ops import params as params_mod
+from mfa_tpu.ops.descriptors import (
+    AttentionDescriptor,
+    AttentionKernelType,
+    round_up,
+)
+from mfa_tpu.utils.roofline import attention_flops, measure_chained
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "sweeps", "r2_sweep.jsonl")
+
+
+def load_done():
+    done = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                done[(rec["kernel"], rec["d"], rec["n"], rec["bq"],
+                      rec["bkv"], rec["bd"])] = rec
+    return done
+
+
+def record(rec):
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+
+
+def fwd_candidates(d_pad, seq):
+    for bq in (256, 512):
+        for bkv in (1024, 2048, 4096):
+            if bkv > seq:
+                continue
+            for bd in sorted({min(128, d_pad), d_pad}):
+                if d_pad % bd:
+                    continue
+                # VMEM sanity: s tile fp32 + acc + double-buffered kv bf16
+                s_bytes = bq * bkv * 4
+                kv_bytes = 2 * 2 * bkv * d_pad * 2
+                acc = bq * d_pad * 4 + bq * d_pad * 2
+                if s_bytes + kv_bytes + acc > 15.2 * 2**20:
+                    continue
+                yield bq, bkv, bd
+
+
+def bwd_candidates(d_pad, seq):
+    for bq in (128, 256, 512):
+        for bkv in (256, 512, 1024, 2048):
+            if bkv > seq:
+                continue
+            for bd in sorted({min(128, d_pad), d_pad}):
+                if d_pad % bd:
+                    continue
+                s_bytes = bq * bkv * 4 * 2          # S and dS/dP tiles
+                kv_bytes = 2 * 2 * bkv * d_pad * 2
+                accs = 2 * max(bq, bkv) * d_pad * 4
+                if s_bytes + kv_bytes + accs > 15.2 * 2**20:
+                    continue
+                yield bq, bkv, bd
+
+
+def run_one(kernel, head_dim, seq, heads, bq, bkv, bd, gen, dtype=jnp.bfloat16):
+    rng = np.random.default_rng(0)
+    d_pad = round_up(head_dim, 128)
+    mk = lambda shp: jnp.asarray(rng.standard_normal(shp), dtype)
+    flops = attention_flops(kernel, seq, seq, head_dim, batch_heads=heads)
+
+    desc = AttentionDescriptor(
+        batch=1, num_q_heads=heads, num_kv_heads=heads,
+        seq_len_q=seq, seq_len_kv=seq, head_dim=head_dim,
+        low_precision_inputs=True,
+    )
+    ktype = {"forward": AttentionKernelType.FORWARD,
+             "backward_query": AttentionKernelType.BACKWARD_QUERY,
+             "backward_key_value": AttentionKernelType.BACKWARD_KEY_VALUE}[kernel]
+    kd = dataclasses.replace(
+        desc.kernel_descriptor(ktype, gen),
+        block_q=min(bq, seq), block_kv=min(bkv, seq), block_d=bd)
+
+    if kernel == "forward":
+        q, k, v = mk((heads, seq, d_pad)), mk((heads, seq, d_pad)), mk((heads, seq, d_pad))
+        fn = flash_fwd.build_fwd(
+            kd, batch_heads=heads, kv_batch_heads=heads,
+            seq_len_q=seq, seq_len_kv=seq, d_pad=d_pad,
+            scale=desc.softmax_scale, q_dtype=dtype, kv_dtype=dtype,
+            o_dtype=dtype)
+        step = lambda x: fn(x, k, v)[0].astype(dtype)
+        init = q
+    elif kernel == "backward_query":
+        q, k, v = mk((heads, seq, d_pad)), mk((heads, seq, d_pad)), mk((heads, seq, d_pad))
+        o, do = mk((heads, seq, d_pad)), mk((heads, seq, d_pad))
+        lse = jnp.zeros((heads, seq, flash_fwd.LANES), jnp.float32) + float(np.log(seq))
+        fn = flash_bwd.build_bwd_query(
+            kd, batch_heads=heads, kv_batch_heads=heads,
+            seq_len_q=seq, seq_len_kv=seq, d_pad=d_pad,
+            scale=desc.softmax_scale, q_dtype=dtype, kv_dtype=dtype)
+        step = lambda x: fn(x, k, v, o, do, lse)[0].astype(dtype)
+        init = q
+    else:
+        q = mk((heads, seq, d_pad))
+        k, v = mk((heads, seq, d_pad)), mk((heads, seq, d_pad))
+        do = mk((heads, seq, d_pad))
+        lse = jnp.zeros((heads, seq, flash_fwd.LANES), jnp.float32) + float(np.log(seq))
+        dterm = jnp.zeros_like(lse)
+        fn = flash_bwd.build_bwd_key_value(
+            kd, batch_heads=heads, kv_batch_heads=heads,
+            seq_len_q=seq, seq_len_kv=seq, d_pad=d_pad,
+            scale=desc.softmax_scale, q_dtype=dtype, kv_dtype=dtype)
+
+        def step(kv_pair, fn=fn):
+            dk, dv = fn(q, kv_pair[0], kv_pair[1], do, lse, dterm)
+            return (dk.astype(dtype), dv.astype(dtype))
+
+        init = (k, v)
+
+    res = measure_chained(step, init, flops, 0, generation=gen,
+                          trials=3, n_small=2, n_big=10)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel", default="all")
+    ap.add_argument("--d", type=int, nargs="+", default=[64, 128, 256])
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--heads", type=int, default=8)
+    args = ap.parse_args()
+
+    gen = params_mod.detect_generation()
+    print(f"# generation {gen.name}, peak {gen.bf16_tflops} TFLOP/s", flush=True)
+    kernels = (["forward", "backward_query", "backward_key_value"]
+               if args.kernel == "all" else [args.kernel])
+    done = load_done()
+
+    for kernel in kernels:
+        for head_dim in args.d:
+            d_pad = round_up(head_dim, 128)
+            cands = (fwd_candidates(d_pad, args.n) if kernel == "forward"
+                     else bwd_candidates(d_pad, args.n))
+            best = (0.0, None)
+            for bq, bkv, bd in cands:
+                key = (kernel, head_dim, args.n, bq, bkv, bd)
+                if key in done:
+                    rec = done[key]
+                    if rec.get("tflops", 0) > best[0]:
+                        best = (rec["tflops"], key)
+                    print(f"  [cached] {key} {rec.get('tflops')}", flush=True)
+                    continue
+                t0 = time.time()
+                try:
+                    res = run_one(kernel, head_dim, args.n, args.heads,
+                                  bq, bkv, bd, gen)
+                    if res.tflops > gen.bf16_tflops * 1.05:   # noise guard
+                        res = run_one(kernel, head_dim, args.n, args.heads,
+                                      bq, bkv, bd, gen)
+                    rec = {"kernel": kernel, "d": head_dim, "n": args.n,
+                           "bq": bq, "bkv": bkv, "bd": bd,
+                           "tflops": round(res.tflops, 2),
+                           "util": round(res.compute_bound_utilization, 4),
+                           "latency_us": round(res.latency_s * 1e6, 1),
+                           "wall_s": round(time.time() - t0, 1)}
+                except Exception as e:  # noqa: BLE001
+                    rec = {"kernel": kernel, "d": head_dim, "n": args.n,
+                           "bq": bq, "bkv": bkv, "bd": bd,
+                           "error": f"{type(e).__name__}: {e}"[:200],
+                           "wall_s": round(time.time() - t0, 1)}
+                record(rec)
+                print(f"  {kernel} D={head_dim} bq={bq} bkv={bkv} bd={bd}: "
+                      f"{rec.get('tflops', rec.get('error'))} "
+                      f"({rec['wall_s']}s)", flush=True)
+                if rec.get("tflops", 0) > best[0]:
+                    best = (rec["tflops"], key)
+            print(f"# BEST {kernel} D={head_dim}: {best}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,3 +69,57 @@ def test_ulysses_rejects_bad_heads(rng):
     q, k, v, _ = make_attention_inputs(rng, 1, 2, 2, 64, 64, 16)
     with pytest.raises(Exception):
         jax.block_until_ready(make_ulysses_attention(m)(q, k, v))
+
+
+def test_ulysses_backward_matches_oracle(rng):
+    """Differentiable Ulysses (VERDICT r1 item 9): grads through the two
+    all-to-alls + the custom-VJP kernel match the single-device oracle."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from mfa_tpu.ops.reference import attention_grads_reference
+    from mfa_tpu.parallel.ulysses import ulysses_attention
+
+    m = mesh_mod.make_mesh(dp=1, tp=1, sp=4)
+    b, h, s, d = 1, 8, 256, 32
+    q, k, v, do = make_attention_inputs(rng, b, h, h, s, s, d)
+    spec = P("dp", "tp", "sp", None)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=m,
+        in_specs=(spec, spec, spec, spec), out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    def grads(q, k, v, do):
+        def loss(q, k, v):
+            o = ulysses_attention(q, k, v, causal=True)
+            return jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32))
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    dq, dk, dv = grads(q, k, v, do)
+    wq, wk, wv, _ = attention_grads_reference(q, k, v, do, causal=True)
+    assert_close(dq, wq, 5e-5, "ulysses dQ")
+    assert_close(dk, wk, 5e-5, "ulysses dK")
+    assert_close(dv, wv, 5e-5, "ulysses dV")
+
+
+def test_ulysses_gqa(rng):
+    """GQA through Ulysses: q and kv head counts divide independently."""
+    m = mesh_mod.make_mesh(dp=1, tp=1, sp=4)
+    q, k, v, _ = make_attention_inputs(rng, 1, 8, 4, 128, 128, 32)
+    o = make_ulysses_attention(m, causal=False)(q, k, v)
+    want, _ = attention_reference(q, k, v)
+    assert_close(o, want, 5e-5, "ulysses GQA O")
+
+
+def test_cp_mode_crossover():
+    """The documented ulysses-vs-ring rule (parallel/ulysses.py)."""
+    from mfa_tpu.parallel.ulysses import choose_cp_mode
+
+    # Heads divide, sequence fits → ulysses (cheaper on the wire by ~n/2).
+    assert choose_cp_mode(32, 8, 32768, 128, 8) == "ulysses"
+    # GQA with fewer KV heads than devices → ring (no KV replication).
+    assert choose_cp_mode(32, 4, 32768, 128, 8) == "ring"
+    # Extreme context: full sequence blows the HBM budget → ring.
+    assert choose_cp_mode(32, 8, 64 * 1024 * 1024, 128, 8) == "ring"

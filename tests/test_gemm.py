@@ -92,3 +92,64 @@ def test_fuzz(rng):
             got, _oracle(a, b, c0, ta, tb), 1e-3,
             f"fuzz m={m} n={n} k={k} ta={ta} tb={tb} acc={acc}",
         )
+
+
+# ---------------------------------------------------------------------------
+# Adversarial randomized fuzz (AdversarialShapeTest.swift:12-66): random
+# M,N,K cubed-uniform (biased small), random per-operand precisions, random
+# transposes, random loadPreviousC, and operands embedded in OVER-SIZED
+# buffers (the padded-leading-dimension analogue: the kernel must respect
+# logical bounds, not buffer bounds). Dense matmul oracle with the
+# accumulation-length tolerance model (AdversarialShapeTest.swift:288-336).
+# Scaled to CPU-interpret budget: 12 trials, dims in [1, 384].
+# ---------------------------------------------------------------------------
+
+_DTYPES = [jnp.float32, jnp.bfloat16]
+
+
+def _tolerance(dtypes, k):
+    """Precision-aware tolerance with accumulation-length scaling."""
+    if all(dt == jnp.float32 for dt in dtypes):
+        base = 2e-5
+    else:
+        base = 5e-2
+    return base * max(1.0, k / 256.0) * 3.0
+
+
+def _cubed_dim(r, lo=1, hi=384):
+    u = r.uniform()
+    return int(lo + (hi - lo) * u ** 3)
+
+
+def test_adversarial_fuzz(rng):
+    for trial in range(12):
+        m, n, k = (_cubed_dim(rng) for _ in range(3))
+        ta, tb = bool(rng.integers(2)), bool(rng.integers(2))
+        with_c0 = bool(rng.integers(2))
+        a_dt = _DTYPES[rng.integers(len(_DTYPES))]
+        b_dt = _DTYPES[rng.integers(len(_DTYPES))]
+
+        a_shape = (k, m) if ta else (m, k)
+        b_shape = (n, k) if tb else (k, n)
+
+        # Over-sized buffers: generate into a larger allocation, slice the
+        # logical operand out — the padded-stride adversary.
+        def embedded(shape, dt):
+            big = jnp.asarray(
+                rng.standard_normal((shape[0] + int(rng.integers(1, 9)),
+                                     shape[1] + int(rng.integers(1, 9)))),
+                dt)
+            return big[:shape[0], :shape[1]]
+
+        a = embedded(a_shape, a_dt)
+        b = embedded(b_shape, b_dt)
+        c0 = embedded((m, n), jnp.float32) if with_c0 else None
+
+        got = gemm(a, b, c0, transpose_a=ta, transpose_b=tb,
+                   out_dtype=jnp.float32)
+        want = _oracle(a, b, c0, ta=ta, tb=tb)
+        tol = _tolerance((a_dt, b_dt), k)
+        assert_close(
+            got, want, tol,
+            f"fuzz[{trial}] m={m} n={n} k={k} ta={ta} tb={tb} "
+            f"c0={with_c0} {a_dt.__name__}/{b_dt.__name__}")

@@ -70,6 +70,40 @@ def test_pipeline_with_dp(rng):
                                np.asarray(_serial(stages, x)), atol=1e-5)
 
 
+def test_pipeline_requires_pp_axis(rng):
+    """A mesh without a 'pp' axis (hand-built, not via make_mesh) raises a
+    named error, not a bare KeyError."""
+    import numpy as onp
+    from jax.sharding import Mesh
+    mesh = Mesh(onp.array(jax.devices()[:2]), ("x",))
+    stages = _make_stages(rng, 2, 16, 32)
+    x = jnp.zeros((4, 2, 16), jnp.float32)
+    with pytest.raises(ValueError, match="pp"):
+        pipeline_apply(_stage_fn, stack_stages(stages), x,
+                       mesh=mesh, num_microbatches=2)
+
+
+def test_pipeline_dp_sharding_is_real(rng):
+    """With a dp axis, the pipeline's shard_map consumes dp-sharded
+    microbatches (P(None, 'dp')) rather than replicating work — each dp
+    replica sees mb/dp examples (ADVICE round-1 medium finding)."""
+    n_stages = 2
+    mesh = mesh_mod.make_mesh(dp=2, pp=n_stages)
+    stages = _make_stages(rng, n_stages, 16, 32)
+    stacked = shard_stacked(stack_stages(stages), mesh)
+    x = jnp.asarray(rng.standard_normal((8, 4, 16)), jnp.float32)
+
+    seen = []
+
+    def probe_stage(p, a):
+        seen.append(a.shape)
+        return _stage_fn(p, a)
+
+    pipeline_apply(probe_stage, stacked, x, mesh=mesh, num_microbatches=4)
+    # microbatch = 8/4 = 2 examples; dp=2 → each replica traces 1 example.
+    assert seen and seen[0][0] == 1
+
+
 def test_pipeline_grad(rng):
     """The schedule is differentiable (fori_loop + ppermute have transposes
     via the scan/psum rules): grads match the serial stack's grads."""

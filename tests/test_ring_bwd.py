@@ -57,3 +57,17 @@ def test_ring_grads_sp8(rng):
     assert_close(dq, wq, 5e-5, "ring dQ sp8")
     assert_close(dk, wk, 5e-5, "ring dK sp8")
     assert_close(dv, wv, 5e-5, "ring dV sp8")
+
+
+def test_ring_grads_bf16_travel(rng):
+    """BF16 inputs: dK/dV partial sums travel the ring in bf16 (half the
+    backward comm volume — round-1 VERDICT item 6). Mixed budget 5e-2."""
+    mesh = mesh_mod.make_mesh(dp=1, tp=1, sp=4)
+    b, h, s, d = 1, 2, 256, 32
+    q, k, v, do = make_attention_inputs(rng, b, h, h, s, s, d,
+                                        dtype=jnp.bfloat16)
+    dq, dk, dv = _ring_grads(mesh, q, k, v, do, causal=True)
+    wq, wk, wv, _ = attention_grads_reference(q, k, v, do, causal=True)
+    assert_close(dq, wq, 5e-2, "ring dQ bf16")
+    assert_close(dk, wk, 5e-2, "ring dK bf16")
+    assert_close(dv, wv, 5e-2, "ring dV bf16")
