@@ -46,12 +46,27 @@ def main():
         f"{res.ginstrs:.0f} GINSTRS/s | util {res.roofline_utilization:.3f}",
         file=sys.stderr,
     )
-    print(json.dumps({
+    rec = {
         "metric": "attn_fwd_bf16_tflops_per_chip(N=4096,D=128,H=8)",
         "value": round(res.tflops, 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(res.roofline_utilization, 4),
-    }))
+    }
+    # Embed the decode headline (the other half of BASELINE.json's north
+    # star) when bench_decode.py has recorded one — decode setup is minutes
+    # of weight init over the tunnel, too fragile to re-run here.
+    try:
+        import os
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "sweeps",
+                               "decode_headline.json")) as f:
+            dec = json.load(f)
+        rec["decode_metric"] = dec["metric"]
+        rec["decode_tok_s"] = dec["value"]
+        rec["decode_vs_baseline"] = dec["vs_baseline"]
+    except (OSError, KeyError, ValueError):
+        pass
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

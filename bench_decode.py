@@ -104,13 +104,22 @@ def main():
     print(f"# step {step_latency*1e3:.2f} ms | {tok_s:.0f} tok/s | "
           f"SoL(step) {sol*1e3:.2f} ms | util {sol/step_latency:.3f}",
           file=sys.stderr)
-    print(json.dumps({
+    rec = {
         "metric": f"decode_tok_s_chip(8B-int8w-fp8kv,B={args.batch},"
                   f"ctx={args.ctx},L={args.layers})",
         "value": round(tok_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(sol / step_latency, 4),
-    }))
+    }
+    print(json.dumps(rec))
+    # Persist for bench.py to embed next to the fwd headline (full-config
+    # runs only — smoke runs with reduced layers are not the headline).
+    if args.layers == 32:
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", "sweeps", "decode_headline.json")
+        with open(path, "w") as f:
+            json.dump(rec, f)
 
 
 if __name__ == "__main__":

@@ -100,14 +100,22 @@ def _bwd_q_kernel(
     # the forward kernel; interior blocks skip all VPU mask work).
     col_edge_exists = seq_len_kv % bkv != 0
 
-    def build_mask():
+    # Row grouping (see flash_fwd): independent per-group S/P/dP/dS chains
+    # for the scheduler, and only the live group's tiles occupy VMEM.
+    qg = min(kd.block_q_inner or bq, bq)
+    if bq % qg != 0:
+        qg = bq
+    n_groups = bq // qg
+
+    def build_mask(gi):
+        rbase = i * bq + gi * qg
         m = None
         if col_edge_exists:
-            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (qg, bkv), 1)
             m = col < seq_len_kv
         if is_causal:
-            row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            row = rbase + jax.lax.broadcasted_iota(jnp.int32, (qg, bkv), 0)
+            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (qg, bkv), 1)
             cm = col <= row + offset
             if window is not None:
                 cm &= col >= row + offset - (window - 1)
@@ -140,71 +148,75 @@ def _bwd_q_kernel(
         else:
             q = (q_ref[0].astype(jnp.float32) * scale2).astype(q_ref.dtype)
         k = k_ref[0]
-        nd = max(1, q.shape[-1] // kd.block_d)
-
-        def qk(db):
-            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            q_sl = q[:, sl]
-            if not fp32_in and not q_resident:
-                q_sl = (q_sl.astype(jnp.float32) * scale2).astype(q_ref.dtype)
-            return jax.lax.dot_general(
-                q_sl, k[:, sl],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_prec,
-            )
-
-        s2 = qk(0)
-        for db in range(1, nd):
-            s2 += qk(db)
-        if fp32_in:
-            s2 *= scale2
-        if kd.logit_soft_cap is not None:
-            cap2 = kd.logit_soft_cap * LOG2E
-            s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
-
-        if block_needs_mask is not None:
-            s2 = jax.lax.cond(
-                block_needs_mask,
-                lambda s: jnp.where(build_mask(), s, MASK_VALUE),
-                lambda s: s,
-                s2,
-            )
-
-        lse2 = l_ref[0][:, :1] * LOG2E                   # (bq, 1)
-        p = jnp.exp2(s2 - lse2)                          # true probabilities
-
-        d_o = do_ref[0]
         v = v_ref[0]
+        d_o = do_ref[0]
+        nd = max(1, q.shape[-1] // kd.block_d)
+        ds_dtype = kd.register_dtype(kd.ds_register, k.dtype)
 
-        def dov(db):
-            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            return jax.lax.dot_general(
-                d_o[:, sl], v[:, sl],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_prec,
-            )
+        for gi in range(n_groups):
+            grows = slice(gi * qg, (gi + 1) * qg)
 
-        dp = dov(0)
-        for db in range(1, nd):
-            dp += dov(db)
+            def qk(db, grows=grows):
+                sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                q_sl = q[grows, sl]
+                if not fp32_in and not q_resident:
+                    q_sl = (q_sl.astype(jnp.float32) * scale2).astype(
+                        q_ref.dtype)
+                return jax.lax.dot_general(
+                    q_sl, k[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec,
+                )
 
-        ds = p * (dp - d_scr[:, :1])
-        if kd.logit_soft_cap is not None:
-            ds = ds * cap_grad
-        ds = ds * scale
-        # dS register precision from the policy (reference: dS BF16 only with
-        # native BF16 FMA, Precisions.swift:200 — native on every TPU).
-        ds_cast = ds.astype(kd.register_dtype(kd.ds_register, k.dtype))
-        for db in range(nd):
-            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            acc_scr[:, sl] += jax.lax.dot_general(
-                ds_cast, k[:, sl],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_prec,
-            )
+            s2 = qk(0)
+            for db in range(1, nd):
+                s2 += qk(db)
+            if fp32_in:
+                s2 *= scale2
+            if kd.logit_soft_cap is not None:
+                cap2 = kd.logit_soft_cap * LOG2E
+                s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
+
+            if block_needs_mask is not None:
+                s2 = jax.lax.cond(
+                    block_needs_mask,
+                    lambda s, gi=gi: jnp.where(build_mask(gi), s, MASK_VALUE),
+                    lambda s: s,
+                    s2,
+                )
+
+            lse2 = l_ref[0][grows, :1] * LOG2E           # (qg, 1)
+            p = jnp.exp2(s2 - lse2)                      # true probabilities
+
+            def dov(db, grows=grows):
+                sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                return jax.lax.dot_general(
+                    d_o[grows, sl], v[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec,
+                )
+
+            dp = dov(0)
+            for db in range(1, nd):
+                dp += dov(db)
+
+            ds = p * (dp - d_scr[grows, :1])
+            if kd.logit_soft_cap is not None:
+                ds = ds * cap_grad
+            ds = ds * scale
+            # dS register precision from the policy (reference: dS BF16 only
+            # with native BF16 FMA, Precisions.swift:200 — native on TPU).
+            ds_cast = ds.astype(ds_dtype)
+            for db in range(nd):
+                sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                acc_scr[grows, sl] += jax.lax.dot_general(
+                    ds_cast, k[:, sl],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec,
+                )
 
     @pl.when(j == num_kv_blocks - 1)
     def _finalize():
@@ -329,9 +341,18 @@ def _bwd_kv_kernel(
     else:
         block_needs_mask = None
 
-    def build_mask():
-        row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+    # Row grouping over the traversal rows (see flash_fwd): group
+    # contributions to dK/dV are additive, so each group is an independent
+    # chain; partials accumulate in SSA values and hit the scratch once.
+    qg = min(kd.block_q_inner or bq, bq)
+    if bq % qg != 0:
+        qg = bq
+    n_groups = bq // qg
+
+    def build_mask(gi):
+        row = (i * bq + gi * qg
+               + jax.lax.broadcasted_iota(jnp.int32, (qg, bkv), 0))
+        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (qg, bkv), 1)
         cm = col <= row + offset
         if window is not None:
             cm &= col >= row + offset - (window - 1)
@@ -353,85 +374,101 @@ def _bwd_kv_kernel(
             qs = q
         else:
             qs = (q.astype(jnp.float32) * scale2).astype(q_ref.dtype)
-        nd = max(1, q.shape[-1] // kd.block_d)
-
-        # S = Q K^T (bq, bkv) — row-major; transposed contractions below
-        # feed the MXU directly (no materialized S^T, unlike the reference).
-        def qk(db):
-            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            q_sl = qs[:, sl]
-            if not fp32_in and not q_resident:
-                q_sl = (q_sl.astype(jnp.float32) * scale2).astype(q_ref.dtype)
-            return jax.lax.dot_general(
-                q_sl, k[:, sl],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_prec,
-            )
-
-        s2 = qk(0)
-        for db in range(1, nd):
-            s2 += qk(db)
-        if fp32_in:
-            s2 *= scale2
-        if kd.logit_soft_cap is not None:
-            cap2 = kd.logit_soft_cap * LOG2E
-            s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
-
-        if block_needs_mask is not None:
-            s2 = jax.lax.cond(
-                block_needs_mask,
-                lambda s: jnp.where(build_mask(), s, MASK_VALUE),
-                lambda s: s,
-                s2,
-            )
-
-        lse2 = l_ref[0][:, :1] * LOG2E                    # (bq, 1)
-        p = jnp.exp2(s2 - lse2)                           # (bq, bkv)
-
         d_o = do_ref[0]
         v = v_ref[0]
-        p_cast = p.astype(kd.register_dtype(kd.p_register, k.dtype))
+        nd = max(1, q.shape[-1] // kd.block_d)
+        p_dtype = kd.register_dtype(kd.p_register, k.dtype)
+        ds_dtype = kd.register_dtype(kd.ds_register, k.dtype)
 
-        # dV += P^T dO — contract over rows (dim 0 of both operands).
+        dv_parts = [None] * nd
+        dk_parts = [None] * nd
+
+        for gi in range(n_groups):
+            grows = slice(gi * qg, (gi + 1) * qg)
+
+            # S = Q K^T (qg, bkv) — row-major; transposed contractions
+            # below feed the MXU directly (no materialized S^T, unlike the
+            # reference).
+            def qk(db, grows=grows):
+                sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                q_sl = qs[grows, sl]
+                if not fp32_in and not q_resident:
+                    q_sl = (q_sl.astype(jnp.float32) * scale2).astype(
+                        q_ref.dtype)
+                return jax.lax.dot_general(
+                    q_sl, k[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec,
+                )
+
+            s2 = qk(0)
+            for db in range(1, nd):
+                s2 += qk(db)
+            if fp32_in:
+                s2 *= scale2
+            if kd.logit_soft_cap is not None:
+                cap2 = kd.logit_soft_cap * LOG2E
+                s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
+
+            if block_needs_mask is not None:
+                s2 = jax.lax.cond(
+                    block_needs_mask,
+                    lambda s, gi=gi: jnp.where(build_mask(gi), s, MASK_VALUE),
+                    lambda s: s,
+                    s2,
+                )
+
+            lse2 = l_ref[0][grows, :1] * LOG2E            # (qg, 1)
+            p = jnp.exp2(s2 - lse2)                       # (qg, bkv)
+            p_cast = p.astype(p_dtype)
+
+            # dV partial: P^T dO — contract over rows (dim 0 of both).
+            for db in range(nd):
+                sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                pv = jax.lax.dot_general(
+                    p_cast, d_o[grows, sl],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec,
+                )
+                dv_parts[db] = pv if dv_parts[db] is None else dv_parts[db] + pv
+
+            # dP = dO V^T  (qg, bkv)
+            def dov(db, grows=grows):
+                sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                return jax.lax.dot_general(
+                    d_o[grows, sl], v[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec,
+                )
+
+            dp = dov(0)
+            for db in range(1, nd):
+                dp += dov(db)
+
+            ds = p * (dp - dterm_ref[0][grows, :1])
+            if kd.logit_soft_cap is not None:
+                ds = ds * cap_grad
+            ds = ds * scale
+            ds_cast = ds.astype(ds_dtype)
+
+            # dK partial: dS^T Q — contract over rows.
+            for db in range(nd):
+                sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                dk = jax.lax.dot_general(
+                    ds_cast, q[grows, sl],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec,
+                )
+                dk_parts[db] = dk if dk_parts[db] is None else dk_parts[db] + dk
+
         for db in range(nd):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            dv_scr[:, sl] += jax.lax.dot_general(
-                p_cast, d_o[:, sl],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_prec,
-            )
-
-        # dP = dO V^T  (bq, bkv)
-        def dov(db):
-            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            return jax.lax.dot_general(
-                d_o[:, sl], v[:, sl],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_prec,
-            )
-
-        dp = dov(0)
-        for db in range(1, nd):
-            dp += dov(db)
-
-        ds = p * (dp - dterm_ref[0][:, :1])
-        if kd.logit_soft_cap is not None:
-            ds = ds * cap_grad
-        ds = ds * scale
-        ds_cast = ds.astype(kd.register_dtype(kd.ds_register, k.dtype))
-
-        # dK += dS^T Q — contract over rows.
-        for db in range(nd):
-            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            dk_scr[:, sl] += jax.lax.dot_general(
-                ds_cast, q[:, sl],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_prec,
-            )
+            dv_scr[:, sl] += dv_parts[db]
+            dk_scr[:, sl] += dk_parts[db]
 
     @pl.when(t == pl.num_programs(2) - 1)
     def _finalize():

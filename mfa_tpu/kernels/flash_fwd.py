@@ -98,14 +98,29 @@ def _fwd_kernel(
     # elementwise op on S costs ~D/100 of a matmul).
     col_edge_exists = seq_len_kv % bkv != 0
 
-    def build_mask():
+    # Traversal sub-tile: independent online-softmax updates per sub-tile of
+    # the KV block let Mosaic overlap sub-tile t+1's S matmul (MXU) with
+    # sub-tile t's softmax (VPU) — without it, the row-max over the whole
+    # (bq, bkv) S tile is a hard MXU→VPU→MXU serialization point per block.
+    inner = min(kd.block_kv_inner or bkv, bkv)
+    if bkv % inner != 0:
+        inner = bkv
+    n_inner = bkv // inner
+    qg = min(kd.block_q_inner or bq, bq)
+    if bq % qg != 0:
+        qg = bq
+    n_groups = bq // qg
+
+    def build_mask(ti, gi):
+        base = j * bkv + ti * inner
+        rbase = i * bq + gi * qg
         m = None
         if col_edge_exists:
-            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            col = base + jax.lax.broadcasted_iota(jnp.int32, (qg, inner), 1)
             m = col < seq_len_kv
         if is_causal:
-            row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            row = rbase + jax.lax.broadcasted_iota(jnp.int32, (qg, inner), 0)
+            col = base + jax.lax.broadcasted_iota(jnp.int32, (qg, inner), 1)
             cm = col <= row + offset
             if window is not None:
                 cm &= col >= row + offset - (window - 1)
@@ -146,67 +161,85 @@ def _fwd_kernel(
         else:
             q = (q_ref[0].astype(jnp.float32) * scale2).astype(q_ref.dtype)
         k = k_ref[0]
-
-        # --- S = Q K^T, accumulated over head-dim blocks (D-blocking) ---
-        nd = max(1, d_pad // kd.block_d)
-
-        def qk(db):
-            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            q_sl = q[:, sl]
-            if not fp32_in and not q_resident:
-                q_sl = (q_sl.astype(jnp.float32) * scale2).astype(q_ref.dtype)
-            return jax.lax.dot_general(
-                q_sl, k[:, sl],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_prec,
-            )
-
-        s = qk(0)
-        for db in range(1, nd):
-            s += qk(db)
-        if fp32_in:
-            s *= scale2                    # base-2 domain from here on
-
-        if kd.logit_soft_cap is not None:
-            cap2 = kd.logit_soft_cap * LOG2E
-            s = cap2 * jnp.tanh(s / cap2)
-
-        # --- masking (edge + causal), large-finite sentinel. Scalar-
-        # predicated branch: only blocks the mask can bite pay for it. ---
-        if block_needs_mask is not None:
-            s = jax.lax.cond(
-                block_needs_mask,
-                lambda s: jnp.where(build_mask(), s, MASK_VALUE),
-                lambda s: s,
-                s,
-            )
-
-        # --- online softmax update (AttentionKernel+Softmax.swift:267-324).
-        # m/l live as (bq, 1) columns: state ops touch bq elements, not
-        # bq×128 replicated lanes. ---
-        m_prev = m_scr[...]                                  # (bq, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        corr = jnp.exp2(m_prev - m_new)                      # (bq, 1)
-        p = jnp.exp2(s - m_new)                              # (bq, bkv)
-        l_scr[...] = corr * l_scr[...] + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = m_new
-
-        # --- O accumulation: acc = acc*corr + P V, paged over d blocks ---
-        # P's MXU-input precision comes from the register policy
-        # (kd.p_register ← PrecisionPolicy.register[P], the analogue of the
-        # reference's "P FP16" register rule, Precisions.swift:197-200).
-        p_cast = p.astype(kd.register_dtype(kd.p_register, v_ref.dtype))
         v = v_ref[0]
-        for db in range(nd):
-            sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-            pv = jax.lax.dot_general(
-                p_cast, v[:, sl],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_prec,
-            )
-            acc_scr[:, sl] = acc_scr[:, sl] * corr + pv
+        nd = max(1, d_pad // kd.block_d)
+        p_dtype = kd.register_dtype(kd.p_register, v_ref.dtype)
+
+        # Row grouping: rows are independent in the online softmax, so each
+        # q-row group is a fully data-independent MXU→VPU→MXU chain the
+        # scheduler may interleave. 0/bq = single group.
+        for gi in range(n_groups):
+            grows = slice(gi * qg, (gi + 1) * qg)
+            m_run = m_scr[grows]                             # (qg, 1)
+            l_run = l_scr[grows]
+
+            # Traversal sub-tiles within the group (off by default — see
+            # block_kv_inner note in descriptors.py).
+            for ti in range(n_inner):
+                rows = slice(ti * inner, (ti + 1) * inner)
+
+                # --- S = Q K[rows]^T over head-dim blocks (D-blocking) ---
+                def qk(db, rows=rows, grows=grows):
+                    sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                    q_sl = q[grows, sl]
+                    if not fp32_in and not q_resident:
+                        q_sl = (q_sl.astype(jnp.float32) * scale2).astype(
+                            q_ref.dtype)
+                    return jax.lax.dot_general(
+                        q_sl, k[rows, sl],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_prec,
+                    )
+
+                s = qk(0)
+                for db in range(1, nd):
+                    s += qk(db)
+                if fp32_in:
+                    s *= scale2            # base-2 domain from here on
+
+                if kd.logit_soft_cap is not None:
+                    cap2 = kd.logit_soft_cap * LOG2E
+                    s = cap2 * jnp.tanh(s / cap2)
+
+                # --- masking (edge + causal), large-finite sentinel.
+                # Scalar-predicated: only blocks the mask can bite pay. ---
+                if block_needs_mask is not None:
+                    s = jax.lax.cond(
+                        block_needs_mask,
+                        lambda s, ti=ti, gi=gi: jnp.where(
+                            build_mask(ti, gi), s, MASK_VALUE),
+                        lambda s: s,
+                        s,
+                    )
+
+                # --- online softmax update (Softmax.swift:267-324). m/l
+                # live as (bq, 1) columns: state ops touch bq elements, not
+                # bq×128 replicated lanes. ---
+                m_new = jnp.maximum(m_run,
+                                    jnp.max(s, axis=-1, keepdims=True))
+                corr = jnp.exp2(m_run - m_new)               # (qg, 1)
+                p = jnp.exp2(s - m_new)                      # (qg, inner)
+                l_run = corr * l_run + jnp.sum(p, axis=-1, keepdims=True)
+                m_run = m_new
+
+                # --- O accumulation: acc = acc*corr + P V, paged over d
+                # blocks. P's MXU-input precision comes from the register
+                # policy (kd.p_register ← PrecisionPolicy.register[P], the
+                # reference's "P FP16" rule, Precisions.swift:197-200). ---
+                p_cast = p.astype(p_dtype)
+                for db in range(nd):
+                    sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                    pv = jax.lax.dot_general(
+                        p_cast, v[rows, sl],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_prec,
+                    )
+                    acc_scr[grows, sl] = acc_scr[grows, sl] * corr + pv
+
+            m_scr[grows] = m_run
+            l_scr[grows] = l_run
 
     @pl.when(j == num_kv_blocks - 1)
     def _finalize():

@@ -173,13 +173,20 @@ class AttentionKernelDescriptor:
     ds_register: OperandPrecision = OperandPrecision.BF16
     vmem_resident: tuple = ()
     generation: str = "cpu"
-    # In-kernel traversal sub-tile (MXU/VPU software-pipelining): the online
-    # softmax runs per sub-tile of the streamed KV block, so the next
-    # sub-tile's S matmul (MXU) is data-independent of the current one's
-    # softmax (VPU) and Mosaic's VLIW scheduler can overlap them. Without
-    # it, the row-max over the whole (block_q, block_kv) S tile serializes
-    # MXU → VPU → MXU once per block. 0 = no sub-tiling (one tile).
-    block_kv_inner: int = 512
+    # In-kernel traversal sub-tile (per-sub-tile online softmax). MEASURED
+    # HARMFUL on v5e (0.81 → 0.41 util at D=128: the per-sub-tile rescale
+    # chain beats any MXU/VPU overlap Mosaic finds — it schedules the one
+    # big tile better than a manual pipeline). Kept as an off-by-default
+    # knob; docs/sweeps/r2_sweep.jsonl + scripts/ab_subtile.py hold the
+    # evidence. 0 = one tile per block (default, fastest).
+    block_kv_inner: int = 0
+    # In-kernel row grouping: rows of the online softmax are independent, so
+    # splitting the q block into groups gives the scheduler data-independent
+    # MXU/VPU chains without touching the rescale semantics, and only the
+    # live group's S tile occupies VMEM (which is what lets block_q grow to
+    # 1024 at block_kv=4096). MEASURED on v5e D=128: 0.81 → 0.856 util
+    # (scripts/ab_subtile.py; 256 beat 128 and whole-block). 0 = off.
+    block_q_inner: int = 256
 
     @property
     def d_blocked(self) -> bool:

@@ -83,6 +83,13 @@ def load():
     ]
     lib.mfa_hash_bytes.restype = ctypes.c_ulonglong
     lib.mfa_hash_bytes.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    lib.mfa_emit_gemm.restype = ctypes.c_longlong
+    lib.mfa_emit_gemm.argtypes = [
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_longlong,
+    ]
     _lib = lib
     return _lib
 
@@ -129,3 +136,32 @@ def hash_bytes(data: bytes) -> int | None:
         return None
     buf = ctypes.create_string_buffer(data, len(data))
     return lib.mfa_hash_bytes(ctypes.cast(buf, ctypes.c_void_p), len(data))
+
+
+def emit_gemm(m: int, n: int, k: int, *, batch: int = 1,
+              transpose_a: bool = False, transpose_b: bool = False,
+              load_previous_c: bool = False, a_bf16: bool = False,
+              b_bf16: bool = False, c_bf16: bool = False):
+    """C++-side GEMM codegen: descriptor → StableHLO module text.
+
+    The native twin of the reference's C++ MSL emitter
+    (Documentation/CppReference/GEMM/GEMMKernel.cpp) — see
+    runtime/gemm_emitter.cpp. Returns the module string, or None if the
+    native runtime is unavailable.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    cap = 4096
+    buf = ctypes.create_string_buffer(cap)
+    n_bytes = lib.mfa_emit_gemm(
+        m, n, k, batch, int(transpose_a), int(transpose_b),
+        int(load_previous_c), int(a_bf16), int(b_bf16), int(c_bf16),
+        buf, cap)
+    if n_bytes >= cap:
+        buf = ctypes.create_string_buffer(n_bytes + 1)
+        lib.mfa_emit_gemm(
+            m, n, k, batch, int(transpose_a), int(transpose_b),
+            int(load_previous_c), int(a_bf16), int(b_bf16), int(c_bf16),
+            buf, n_bytes + 1)
+    return buf.value.decode()

@@ -246,8 +246,11 @@ def vmem_bytes_estimate(
     streamed = 2 * 2 * (bkv * d * in_bytes)
     # Resident Q/O (fwd) or equivalents: q block + accumulator
     resident = bq * d * in_bytes + bq * head_dim * acc
-    # S/P tile + m/l rows:
-    tile = bq * bkv * acc * 2 + 2 * bq * acc
+    # S/P tile + m/l rows. The forward kernel processes q rows in groups of
+    # block_q_inner (=256), so at most ~2 groups' S tiles are live at once —
+    # the full (bq, bkv) S never materializes (flash_fwd row grouping).
+    live_rows = min(bq, 512) if kernel_type == "forward" else bq
+    tile = live_rows * bkv * acc * 2 + 2 * bq * acc
     if kernel_type != "forward":
         # backward holds more slabs (dO or K/V + two accumulators)
         resident += bq * d * in_bytes + bq * head_dim * acc

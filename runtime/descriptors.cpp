@@ -93,7 +93,11 @@ int64_t vmem_bytes_estimate(const ParameterRow& row, int head_dim,
   const double acc = 4.0;
   double streamed = 2.0 * 2.0 * (bkv * d * in_bytes);
   double resident = bq * d * in_bytes + bq * head_dim * acc;
-  double tile = bq * bkv * acc * 2 + 2 * bq * acc;
+  // Forward processes q rows in 256-row groups (flash_fwd row grouping):
+  // at most ~2 groups' S tiles are live, never the full (bq, bkv) tile.
+  int64_t live_rows = kernel_type == "forward" ? std::min<int64_t>(bq, 512)
+                                               : bq;
+  double tile = live_rows * bkv * acc * 2 + 2 * bq * acc;
   if (kernel_type != "forward") {
     resident += bq * d * in_bytes + bq * head_dim * acc;
   }

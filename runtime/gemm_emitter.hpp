@@ -1,0 +1,42 @@
+// C++ GEMM kernel codegen: descriptor → StableHLO module text.
+//
+// The native-codegen layer the reference ships in C++ (GEMMKernel.cpp's
+// 646-line MSL emitter, Documentation/CppReference/GEMM/GEMMKernel.cpp) —
+// recast for TPU: instead of emitting Metal Shading Language strings, the
+// C++ side emits a StableHLO module parameterized by the problem descriptor
+// (shapes, per-operand precisions, all four transpose states, batch,
+// load_previous_C) and hands it to the PJRT driver (pjrt_driver.cpp) to
+// JIT-compile and dispatch — the same source→compile→pipeline flow as
+// GEMMShaderCache::fetchKernel (GEMMShaderCache.cpp:8-172).
+//
+// Transposes are expressed through dot_general dimension numbers (no
+// materialized transpose — the MXU takes either operand orientation), and
+// accumulation is always f32 with a final convert to the C precision,
+// mirroring the register-precision rule (GEMMKernel.swift:98-103: BF16
+// accumulators banned).
+#pragma once
+
+#include <string>
+
+#include "descriptors.hpp"
+
+namespace mfa {
+
+enum class ElementType { kF32, kBF16 };
+
+inline const char* mlir_name(ElementType t) {
+  return t == ElementType::kF32 ? "f32" : "bf16";
+}
+
+struct GEMMEmitParams {
+  GEMMDescriptor desc;
+  ElementType a_type = ElementType::kF32;
+  ElementType b_type = ElementType::kF32;
+  ElementType c_type = ElementType::kF32;
+};
+
+// Emits a complete StableHLO module with one public function @gemm whose
+// arguments are (A, B[, C0]) and whose result is C = op(A) · op(B) [+ C0].
+std::string emit_gemm_stablehlo(const GEMMEmitParams& p);
+
+}  // namespace mfa

@@ -2,11 +2,13 @@
 // ctypes (mfa_tpu/ops/native.py). The reference keeps its C++ port as a
 // standalone twin (Documentation/CppReference); ours is additionally wired
 // into the live dispatch path.
+#include <algorithm>
 #include <cstring>
 #include <string>
 #include <vector>
 
 #include "descriptors.hpp"
+#include "gemm_emitter.hpp"
 #include "kernel_cache.hpp"
 
 extern "C" {
@@ -89,6 +91,36 @@ void mfa_gemm_blocks(long long m, long long n, long long k, double a_bytes,
 
 unsigned long long mfa_hash_bytes(const void* data, long long len) {
   return mfa::hash::bytes(data, static_cast<size_t>(len));
+}
+
+// ---- GEMM StableHLO codegen (gemm_emitter.cpp) ----
+// Returns the emitted module length; writes up to `cap` bytes into `out`
+// (NUL-terminated when it fits). bf16 flags select per-operand element
+// types; the accumulator is always f32 (GEMMKernel.swift:98-103 rule).
+
+long long mfa_emit_gemm(long long m, long long n, long long k,
+                        long long batch, int transpose_a, int transpose_b,
+                        int load_previous_c, int a_bf16, int b_bf16,
+                        int c_bf16, char* out, long long cap) {
+  mfa::GEMMEmitParams p;
+  p.desc.m = m;
+  p.desc.n = n;
+  p.desc.k = k;
+  p.desc.batch = batch;
+  p.desc.transpose_a = transpose_a != 0;
+  p.desc.transpose_b = transpose_b != 0;
+  p.desc.load_previous_c = load_previous_c != 0;
+  p.a_type = a_bf16 ? mfa::ElementType::kBF16 : mfa::ElementType::kF32;
+  p.b_type = b_bf16 ? mfa::ElementType::kBF16 : mfa::ElementType::kF32;
+  p.c_type = c_bf16 ? mfa::ElementType::kBF16 : mfa::ElementType::kF32;
+  const std::string text = mfa::emit_gemm_stablehlo(p);
+  if (out && cap > 0) {
+    const long long ncopy =
+        std::min<long long>(cap - 1, static_cast<long long>(text.size()));
+    std::memcpy(out, text.data(), static_cast<size_t>(ncopy));
+    out[ncopy] = '\0';
+  }
+  return static_cast<long long>(text.size());
 }
 
 // ---- opaque two-level cache (payloads are client-owned ints here; the

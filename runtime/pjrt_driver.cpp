@@ -23,6 +23,7 @@
 
 #include "xla/pjrt/c/pjrt_c_api.h"
 
+#include "gemm_emitter.hpp"
 #include "mfa_error.hpp"
 
 namespace {
@@ -54,18 +55,6 @@ std::string error_message(PJRT_Error* err) {
       return 1;                                                             \
     }                                                                       \
   } while (0)
-
-// A 512x512x512 f32 matmul in StableHLO text form — the compile payload.
-const char kMatmulMlir[] = R"(
-module @gemm {
-  func.func @main(%a: tensor<512x512xf32>, %b: tensor<512x512xf32>)
-      -> tensor<512x512xf32> {
-    %0 = stablehlo.dot_general %a, %b,
-        contracting_dims = [1] x [0]
-      : (tensor<512x512xf32>, tensor<512x512xf32>) -> tensor<512x512xf32>
-    return %0 : tensor<512x512xf32>
-  }
-})";
 
 }  // namespace
 
@@ -153,12 +142,18 @@ int main(int argc, char** argv) {
   if (devs.num_devices == 0) return 1;
   PJRT_Device* device = devs.devices[0];
 
-  // ---- compile ----
+  // ---- compile: C++ codegen (gemm_emitter.cpp) → PJRT JIT — the
+  // source→library→pipeline flow of GEMMShaderCache::fetchKernel
+  // (GEMMShaderCache.cpp:8-172) with StableHLO standing in for MSL. ----
+  mfa::GEMMEmitParams eparams;
+  eparams.desc.m = eparams.desc.n = eparams.desc.k = 512;
+  const std::string mlir_text = mfa::emit_gemm_stablehlo(eparams);
+
   PJRT_Program program;
   std::memset(&program, 0, sizeof(program));
   program.struct_size = PJRT_Program_STRUCT_SIZE;
-  program.code = const_cast<char*>(kMatmulMlir);
-  program.code_size = sizeof(kMatmulMlir) - 1;
+  program.code = const_cast<char*>(mlir_text.c_str());
+  program.code_size = mlir_text.size();
   const char kFormat[] = "mlir";
   program.format = kFormat;
   program.format_size = sizeof(kFormat) - 1;

@@ -47,7 +47,7 @@ def load_done():
                 except json.JSONDecodeError:
                     continue
                 done[(rec["kernel"], rec["d"], rec["n"], rec["bq"],
-                      rec["bkv"], rec["bd"])] = rec
+                      rec["bkv"], rec["bd"], rec.get("dtype", "bf16"))] = rec
     return done
 
 
@@ -58,15 +58,16 @@ def record(rec):
 
 
 def fwd_candidates(d_pad, seq):
-    for bq in (256, 512):
-        for bkv in (1024, 2048, 4096):
+    for bq in (256, 512, 1024, 2048):
+        for bkv in (2048, 4096):
             if bkv > seq:
                 continue
             for bd in sorted({min(128, d_pad), d_pad}):
                 if d_pad % bd:
                     continue
-                # VMEM sanity: s tile fp32 + acc + double-buffered kv bf16
-                s_bytes = bq * bkv * 4
+                # VMEM sanity: live S tiles (~2 row groups of 256 => at most
+                # 512 live rows) + acc + double-buffered kv bf16.
+                s_bytes = min(bq, 512) * bkv * 4
                 kv_bytes = 2 * 2 * bkv * d_pad * 2
                 acc = bq * d_pad * 4 + bq * d_pad * 2
                 if s_bytes + kv_bytes + acc > 15.2 * 2**20:
@@ -99,7 +100,7 @@ def run_one(kernel, head_dim, seq, heads, bq, bkv, bd, gen, dtype=jnp.bfloat16):
     desc = AttentionDescriptor(
         batch=1, num_q_heads=heads, num_kv_heads=heads,
         seq_len_q=seq, seq_len_kv=seq, head_dim=head_dim,
-        low_precision_inputs=True,
+        low_precision_inputs=dtype != jnp.float32,
     )
     ktype = {"forward": AttentionKernelType.FORWARD,
              "backward_query": AttentionKernelType.BACKWARD_QUERY,
@@ -155,7 +156,9 @@ def main():
     ap.add_argument("--d", type=int, nargs="+", default=[64, 128, 256])
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     args = ap.parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     gen = params_mod.detect_generation()
     print(f"# generation {gen.name}, peak {gen.bf16_tflops} TFLOP/s", flush=True)
@@ -170,7 +173,9 @@ def main():
                      else bwd_candidates(d_pad, args.n))
             best = (0.0, None)
             for bq, bkv, bd in cands:
-                key = (kernel, head_dim, args.n, bq, bkv, bd)
+                if args.dtype == "fp32" and (bq > 512 or bkv > 2048):
+                    continue   # fp32 tiles are 2x; keep the grid modest
+                key = (kernel, head_dim, args.n, bq, bkv, bd, args.dtype)
                 if key in done:
                     rec = done[key]
                     if rec.get("tflops", 0) > best[0]:
@@ -180,11 +185,12 @@ def main():
                 t0 = time.time()
                 try:
                     res = run_one(kernel, head_dim, args.n, args.heads,
-                                  bq, bkv, bd, gen)
+                                  bq, bkv, bd, gen, dtype)
                     if res.tflops > gen.bf16_tflops * 1.05:   # noise guard
                         res = run_one(kernel, head_dim, args.n, args.heads,
-                                      bq, bkv, bd, gen)
+                                      bq, bkv, bd, gen, dtype)
                     rec = {"kernel": kernel, "d": head_dim, "n": args.n,
+                           "dtype": args.dtype,
                            "bq": bq, "bkv": bkv, "bd": bd,
                            "tflops": round(res.tflops, 2),
                            "util": round(res.compute_bound_utilization, 4),
@@ -192,6 +198,7 @@ def main():
                            "wall_s": round(time.time() - t0, 1)}
                 except Exception as e:  # noqa: BLE001
                     rec = {"kernel": kernel, "d": head_dim, "n": args.n,
+                           "dtype": args.dtype,
                            "bq": bq, "bkv": bkv, "bd": bd,
                            "error": f"{type(e).__name__}: {e}"[:200],
                            "wall_s": round(time.time() - t0, 1)}
