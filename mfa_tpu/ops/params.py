@@ -162,13 +162,17 @@ def select_row(rows: list[ParameterRow], head_dim: int) -> ParameterRow:
 
 _FWD_BF16 = """
 # max_d | block_q | block_kv | block_d | vmem-resident
-# v5e-measured (utils/autotune.py + chained timing, N=4096): wide traversal
-# blocks win — the online-softmax state update amortizes over block_kv
-# (256/4096: 0.79 roofline; 512/2048: 0.74; 512/512: 0.36). bkv clamps to
-# the sequence, so short sequences degrade gracefully.
-   64   |   256   |   4096   |   64    | Q, O
-  128   |   256   |   4096   |  128    | Q, O
-  256   |   256   |   2048   |  256    | Q, O
+# v5e-measured (scripts/sweep_r2.py + calibrated chained timing, N=4096,
+# docs/sweeps/r2_sweep.jsonl + docs/MEASUREMENTS.md round-2 table): wide
+# traversal blocks win — the online-softmax state update amortizes over
+# block_kv — and 256-row grouping (block_q_inner) shrinks the live S tile
+# to the current group, which is what lets block_q grow to 1024 (fewer
+# grid steps). D=128: 1024/4096 = 0.856 util vs 512/4096 = 0.81;
+# D=256: 256/4096/256 = 0.850. bkv clamps to the sequence, so short
+# sequences degrade gracefully.
+   64   |   512   |   4096   |  128    | Q, O
+  128   |  1024   |   4096   |  128    | Q, O
+  256   |   256   |   4096   |  256    | Q, O
   384   |   256   |   1024   |  128    | O
   inf   |   128   |    512   |  128    |
 """
@@ -246,11 +250,15 @@ def vmem_bytes_estimate(
     streamed = 2 * 2 * (bkv * d * in_bytes)
     # Resident Q/O (fwd) or equivalents: q block + accumulator
     resident = bq * d * in_bytes + bq * head_dim * acc
-    # S/P tile + m/l rows. The forward kernel processes q rows in groups of
-    # block_q_inner (=256), so at most ~2 groups' S tiles are live at once —
-    # the full (bq, bkv) S never materializes (flash_fwd row grouping).
-    live_rows = min(bq, 512) if kernel_type == "forward" else bq
-    tile = live_rows * bkv * acc * 2 + 2 * bq * acc
+    # S/P tile + m/l rows. All three kernels process q rows in groups of
+    # block_q_inner (=256), so only the live group's S tile materializes —
+    # never the full (bq, bkv) tile (flash_fwd/flash_bwd row grouping).
+    # Forward: S fp32 + P bf16 for one group. Backward: S + dP fp32 tiles
+    # with up to ~2 groups in flight.
+    if kernel_type == "forward":
+        tile = min(bq, 256) * bkv * (acc + 2) + 2 * bq * acc
+    else:
+        tile = min(bq, 512) * bkv * acc * 2 + 2 * bq * acc
     if kernel_type != "forward":
         # backward holds more slabs (dO or K/V + two accumulators)
         resident += bq * d * in_bytes + bq * head_dim * acc

@@ -93,11 +93,16 @@ int64_t vmem_bytes_estimate(const ParameterRow& row, int head_dim,
   const double acc = 4.0;
   double streamed = 2.0 * 2.0 * (bkv * d * in_bytes);
   double resident = bq * d * in_bytes + bq * head_dim * acc;
-  // Forward processes q rows in 256-row groups (flash_fwd row grouping):
-  // at most ~2 groups' S tiles are live, never the full (bq, bkv) tile.
-  int64_t live_rows = kernel_type == "forward" ? std::min<int64_t>(bq, 512)
-                                               : bq;
-  double tile = live_rows * bkv * acc * 2 + 2 * bq * acc;
+  // All three kernels process q rows in 256-row groups (row grouping):
+  // only the live group's S tile materializes, never the full (bq, bkv)
+  // tile. Forward: S fp32 + P bf16 for one group; backward: S + dP fp32
+  // with up to ~2 groups in flight. Twin of params.vmem_bytes_estimate.
+  double tile;
+  if (kernel_type == "forward") {
+    tile = std::min<int64_t>(bq, 256) * bkv * (acc + 2.0) + 2 * bq * acc;
+  } else {
+    tile = std::min<int64_t>(bq, 512) * bkv * acc * 2 + 2 * bq * acc;
+  }
   if (kernel_type != "forward") {
     resident += bq * d * in_bytes + bq * head_dim * acc;
   }

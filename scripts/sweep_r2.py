@@ -75,15 +75,27 @@ def fwd_candidates(d_pad, seq):
                 yield bq, bkv, bd
 
 
-def bwd_candidates(d_pad, seq):
-    for bq in (128, 256, 512):
-        for bkv in (256, 512, 1024, 2048):
-            if bkv > seq:
+def bwd_candidates(kernel, d_pad, seq):
+    # Forward sweeps showed the wide dimension should be the TRAVERSAL one
+    # (streamed blocks amortize softmax/rescale work). bwd_q parallelizes
+    # over q and streams kv; bwd_kv parallelizes over kv and streams q.
+    if kernel == "backward_query":
+        par_dims, trav_dims = (256, 512, 1024), (1024, 2048, 4096)
+    else:
+        par_dims, trav_dims = (256, 512, 1024), (1024, 2048, 4096)
+    for par in par_dims:
+        for trav in trav_dims:
+            bq, bkv = (par, trav) if kernel == "backward_query" else (trav, par)
+            if bkv > seq or bq > seq:
                 continue
             for bd in sorted({min(128, d_pad), d_pad}):
                 if d_pad % bd:
                     continue
-                s_bytes = bq * bkv * 4 * 2          # S and dS/dP tiles
+                # Row grouping keeps only the live 256-row group's S/dP/dS
+                # tiles in VMEM (flash_bwd.py qg logic), so live tile rows
+                # are min(256, traversal-group rows), ~2 groups in flight.
+                live = min(512, bq if kernel == "backward_query" else bq)
+                s_bytes = live * bkv * 4 * 2
                 kv_bytes = 2 * 2 * bkv * d_pad * 2
                 accs = 2 * max(bq, bkv) * d_pad * 4
                 if s_bytes + kv_bytes + accs > 15.2 * 2**20:
@@ -170,7 +182,7 @@ def main():
         for head_dim in args.d:
             d_pad = round_up(head_dim, 128)
             cands = (fwd_candidates(d_pad, args.n) if kernel == "forward"
-                     else bwd_candidates(d_pad, args.n))
+                     else bwd_candidates(kernel, d_pad, args.n))
             best = (0.0, None)
             for bq, bkv, bd in cands:
                 if args.dtype == "fp32" and (bq > 512 or bkv > 2048):
