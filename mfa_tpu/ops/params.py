@@ -185,9 +185,15 @@ _FWD_FP32 = """
 """
 
 _BWD_Q_BF16 = """
-   64   |   256   |    512   |   64    | Q, dO, dQ
-  128   |   256   |    256   |  128    | Q, dO, dQ
-  256   |   128   |    256   |  256    | Q, dO, dQ
+# v5e-measured (scripts/sweep_r2.py, N=4096 H=8, docs/sweeps/r2_sweep.jsonl):
+# dQ parallelizes over q rows and streams kv; a big parallel block (fewer
+# grid steps) beats a wide traversal block here because the streamed kv is
+# read-only — no online-rescale work to amortize. D=128: 1024/2048 = 0.916
+# util (vs 0.785 at the old 256/1024-class blocks); D=256: 1024/1024/256 =
+# 0.937; D=64 is pad-limited (see MEASUREMENTS.md): 1024/2048 = 0.458.
+   64   |  1024   |   2048   |  128    | Q, dO, dQ
+  128   |  1024   |   2048   |  128    | Q, dO, dQ
+  256   |  1024   |   1024   |  256    | Q, dO, dQ
   inf   |   128   |    128   |  128    |
 """
 

@@ -169,6 +169,10 @@ def main():
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--blocks", default=None,
+                    help="bq,bkv,bd — measure only this candidate (used for "
+                         "hardware-validating a table row at a new N, e.g. "
+                         "the D=256 N=8192 config-3 check)")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
@@ -181,8 +185,11 @@ def main():
     for kernel in kernels:
         for head_dim in args.d:
             d_pad = round_up(head_dim, 128)
-            cands = (fwd_candidates(d_pad, args.n) if kernel == "forward"
-                     else bwd_candidates(kernel, d_pad, args.n))
+            if args.blocks:
+                cands = [tuple(int(x) for x in args.blocks.split(","))]
+            else:
+                cands = (fwd_candidates(d_pad, args.n) if kernel == "forward"
+                         else bwd_candidates(kernel, d_pad, args.n))
             best = (0.0, None)
             for bq, bkv, bd in cands:
                 if args.dtype == "fp32" and (bq > 512 or bkv > 2048):
