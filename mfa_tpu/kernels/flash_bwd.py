@@ -359,10 +359,12 @@ def _bwd_kv_kernel(
         return cm
 
     fp32_in = q_ref.dtype == jnp.float32
-    # For this kernel the table's residency list names K/V (the operands the
-    # column-parallel pass holds across its whole traversal); "K" resident
-    # also gates the extra pre-scaled Q slab the S matmul wants.
-    q_resident = bool(kd.vmem_resident)
+    # K/V (BlockSpec blocks of the parallel dim) and dK/dV (scratch) are
+    # structurally VMEM-resident across the whole traversal — not a knob
+    # (see params.py module docstring). The table's "Q" entry gates the one
+    # real choice: materialize a pre-scaled slab of the *streamed* q block
+    # per traversal step, or re-scale each d-block slice on the fly.
+    q_resident = "Q" in kd.vmem_resident
 
     @pl.when(block_live)
     def _body():

@@ -167,7 +167,8 @@ def _fwd_kernel(
 
         # Row grouping: rows are independent in the online softmax, so each
         # q-row group is a fully data-independent MXU→VPU→MXU chain the
-        # scheduler may interleave. 0/bq = single group.
+        # scheduler may interleave. Default block_q_inner=256 (measured best,
+        # scripts/ab_subtile.py); block_q_inner in {0, bq} = single group.
         for gi in range(n_groups):
             grows = slice(gi * qg, (gi + 1) * qg)
             m_run = m_scr[grows]                             # (qg, 1)

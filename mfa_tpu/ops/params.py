@@ -13,7 +13,17 @@ Recast of the reference's "large parameter file"
   reference's headline D-blocking feature, README.md:13)
 - "registers-resident operand list" → operands whose full (block, D) slab is
   held in VMEM across the whole traversal loop rather than re-streamed per
-  d-block (AttentionKernel+Caching.swift:18-281)
+  d-block (AttentionKernel+Caching.swift:18-281). On TPU most of the
+  reference's cached-operand choices are *structural*, not tunable: the
+  parallel-dimension block operands (Q/O for forward and dQ, K/V/dK/dV for
+  the key-value pass) are pinned in VMEM by the Pallas BlockSpec / scratch
+  machinery for the whole traversal loop no matter what the table says. The
+  one real per-row residency decision left is the pre-scaled Q slab — "Q"
+  resident materializes Q·(scale·log2e) once and holds it; absent, each
+  d-block slice is re-scaled on the fly (saves a (block, D) slab at the cost
+  of one extra VPU multiply per contraction — what the unbounded fallback
+  rows choose). The tables therefore list only operands that actually change
+  the traced kernel (locked by tests/test_precision_wiring.py).
 
 Selection rule is identical: first row whose ``max_d`` >= problem D
 (AttentionDescriptor+Parameters.swift:41-66).
@@ -170,17 +180,20 @@ _FWD_BF16 = """
 # grid steps). D=128: 1024/4096 = 0.856 util vs 512/4096 = 0.81;
 # D=256: 256/4096/256 = 0.850. bkv clamps to the sequence, so short
 # sequences degrade gracefully.
-   64   |   512   |   4096   |  128    | Q, O
-  128   |  1024   |   4096   |  128    | Q, O
-  256   |   256   |   4096   |  256    | Q, O
-  384   |   256   |   1024   |  128    | O
+   64   |   512   |   4096   |  128    | Q
+  128   |  1024   |   4096   |  128    | Q
+  256   |   256   |   4096   |  256    | Q
+  384   |   256   |   1024   |  128    |
   inf   |   128   |    512   |  128    |
 """
 
+# FP32 rows carry no residency list: the fp32 kernel path scales S in fp32
+# after the QK^T matmul (to hold the 2e-5 budget) and never materializes a
+# pre-scaled Q slab, so the one tunable residency knob does not exist there.
 _FWD_FP32 = """
-   64   |   256   |    512   |   64    | Q, O
-  128   |   256   |    256   |  128    | Q, O
-  256   |   128   |    256   |  256    | Q, O
+   64   |   256   |    512   |   64    |
+  128   |   256   |    256   |  128    |
+  256   |   128   |    256   |  256    |
   inf   |   128   |    128   |  128    |
 """
 
@@ -190,29 +203,33 @@ _BWD_Q_BF16 = """
 # grid steps) beats a wide traversal block here because the streamed kv is
 # read-only — no online-rescale work to amortize. D=128: 1024/2048 = 0.916
 # util (vs 0.785 at the old 256/1024-class blocks); D=256: 1024/1024/256 =
-# 0.937; D=64 is pad-limited (see MEASUREMENTS.md): 1024/2048 = 0.458.
-   64   |  1024   |   2048   |  128    | Q, dO, dQ
-  128   |  1024   |   2048   |  128    | Q, dO, dQ
-  256   |  1024   |   1024   |  256    | Q, dO, dQ
+# 0.937; D=64 is pad-limited (see MEASUREMENTS.md): 1024/2048 = 0.463.
+   64   |  1024   |   2048   |  128    | Q
+  128   |  1024   |   2048   |  128    | Q
+  256   |  1024   |   1024   |  256    | Q
   inf   |   128   |    128   |  128    |
 """
 
 _BWD_Q_FP32 = """
-   64   |   128   |    256   |   64    | Q, dO, dQ
-  128   |   128   |    256   |  128    | Q, dO, dQ
+   64   |   128   |    256   |   64    |
+  128   |   128   |    256   |  128    |
   inf   |   128   |    128   |  128    |
 """
 
+# bwd_kv parallelizes over KV columns (bkv) and streams q blocks (bq is the
+# TRAVERSAL block here — K/V/dK/dV residency across the traversal is
+# structural, see module docstring; "Q" marks the pre-scaled slab of the
+# *streamed* q block, re-materialized per traversal step).
 _BWD_KV_BF16 = """
-   64   |   256   |    512   |   64    | K, V, dK, dV
-  128   |   256   |    256   |  128    | K, V, dK, dV
-  256   |   128   |    256   |  256    | K, V, dK, dV
+   64   |   256   |    512   |   64    | Q
+  128   |   256   |    256   |  128    | Q
+  256   |   128   |    256   |  256    | Q
   inf   |   128   |    128   |  128    |
 """
 
 _BWD_KV_FP32 = """
-   64   |   128   |    256   |   64    | K, V, dK, dV
-  128   |   128   |    256   |  128    | K, V, dK, dV
+   64   |   128   |    256   |   64    |
+  128   |   128   |    256   |  128    |
   inf   |   128   |    128   |  128    |
 """
 
@@ -249,13 +266,17 @@ def vmem_bytes_estimate(
     Counts double-buffered streamed operands (Pallas pipelines use 2 slots),
     resident slabs, and the S/P scratch of one (block_q, block_kv) tile.
     """
-    d = min(head_dim, row.block_d) if row.block_d else head_dim
+    # Operand slabs in VMEM are lane-padded: the kernels stream/hold
+    # d_pad = round_up(D, 128)-wide slices, so budget against the padded
+    # width (a D=64 row with block_d=128 really moves 128-wide slabs).
+    d_pad = ((head_dim + 127) // 128) * 128
+    d = min(d_pad, row.block_d) if row.block_d else d_pad
     bq, bkv = row.block_q, row.block_kv
     acc = 4  # fp32 accumulator bytes
     # Streamed K and V blocks, double buffered:
     streamed = 2 * 2 * (bkv * d * in_bytes)
     # Resident Q/O (fwd) or equivalents: q block + accumulator
-    resident = bq * d * in_bytes + bq * head_dim * acc
+    resident = bq * d * in_bytes + bq * d_pad * acc
     # S/P tile + m/l rows. All three kernels process q rows in groups of
     # block_q_inner (=256), so only the live group's S tile materializes —
     # never the full (bq, bkv) tile (flash_fwd/flash_bwd row grouping).
@@ -267,5 +288,5 @@ def vmem_bytes_estimate(
         tile = min(bq, 512) * bkv * acc * 2 + 2 * bq * acc
     if kernel_type != "forward":
         # backward holds more slabs (dO or K/V + two accumulators)
-        resident += bq * d * in_bytes + bq * head_dim * acc
+        resident += bq * d * in_bytes + bq * d_pad * acc
     return int(streamed + resident + tile)

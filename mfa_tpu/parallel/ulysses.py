@@ -29,7 +29,7 @@ def ulysses_attention(
     Differentiable end to end: ``all_to_all`` transposes to the inverse
     all_to_all and ``flash_attention`` carries the two-kernel custom VJP, so
     ``jax.grad`` through this function runs the full Ulysses backward
-    (locked by tests/test_ulysses_bwd.py).
+    (locked by tests/test_aux.py::test_ulysses_backward_matches_oracle).
     """
     n = jax.lax.axis_size(axis_name)
     for name, x in (("q", q), ("kv", k)):

@@ -57,25 +57,26 @@ def record(rec):
         f.flush()
 
 
-def fwd_candidates(d_pad, seq):
+def fwd_candidates(d_pad, seq, in_bytes=2):
+    bkv_opts = (2048, 4096) if in_bytes == 2 else (512, 1024, 2048)
     for bq in (256, 512, 1024, 2048):
-        for bkv in (2048, 4096):
+        for bkv in bkv_opts:
             if bkv > seq:
                 continue
             for bd in sorted({min(128, d_pad), d_pad}):
                 if d_pad % bd:
                     continue
                 # VMEM sanity: live S tiles (~2 row groups of 256 => at most
-                # 512 live rows) + acc + double-buffered kv bf16.
+                # 512 live rows) + acc + double-buffered streamed kv.
                 s_bytes = min(bq, 512) * bkv * 4
-                kv_bytes = 2 * 2 * bkv * d_pad * 2
-                acc = bq * d_pad * 4 + bq * d_pad * 2
+                kv_bytes = 2 * 2 * bkv * d_pad * in_bytes
+                acc = bq * d_pad * 4 + bq * d_pad * in_bytes
                 if s_bytes + kv_bytes + acc > 15.2 * 2**20:
                     continue
                 yield bq, bkv, bd
 
 
-def bwd_candidates(kernel, d_pad, seq):
+def bwd_candidates(kernel, d_pad, seq, in_bytes=2):
     # Forward sweeps showed the wide dimension should be the TRAVERSAL one
     # (streamed blocks amortize softmax/rescale work). bwd_q parallelizes
     # over q and streams kv; bwd_kv parallelizes over kv and streams q.
@@ -96,7 +97,7 @@ def bwd_candidates(kernel, d_pad, seq):
                 # are min(256, traversal-group rows), ~2 groups in flight.
                 live = min(512, bq if kernel == "backward_query" else bq)
                 s_bytes = live * bkv * 4 * 2
-                kv_bytes = 2 * 2 * bkv * d_pad * 2
+                kv_bytes = 2 * 2 * bkv * d_pad * in_bytes
                 accs = 2 * max(bq, bkv) * d_pad * 4
                 if s_bytes + kv_bytes + accs > 15.2 * 2**20:
                     continue
@@ -182,18 +183,34 @@ def main():
                if args.kernel == "all" else [args.kernel])
     done = load_done()
 
+    if args.blocks:
+        # An explicit candidate targets ONE (kernel, D): validate up front
+        # instead of silently generating error rows across a product loop.
+        if args.kernel == "all" or len(args.d) != 1:
+            ap.error("--blocks requires a single --kernel and a single --d")
+        parts = args.blocks.split(",")
+        if len(parts) != 3:
+            ap.error("--blocks must be bq,bkv,bd")
+        ebq, ebkv, ebd = (int(x) for x in parts)
+        epad = round_up(args.d[0], 128)
+        if ebd <= 0 or epad % ebd:
+            ap.error(f"--blocks bd={ebd} must divide d_pad={epad}")
+
     for kernel in kernels:
         for head_dim in args.d:
             d_pad = round_up(head_dim, 128)
+            ib = 2 if args.dtype == "bf16" else 4
             if args.blocks:
-                cands = [tuple(int(x) for x in args.blocks.split(","))]
+                cands = [(ebq, ebkv, ebd)]
             else:
-                cands = (fwd_candidates(d_pad, args.n) if kernel == "forward"
-                         else bwd_candidates(kernel, d_pad, args.n))
+                cands = (fwd_candidates(d_pad, args.n, ib)
+                         if kernel == "forward"
+                         else bwd_candidates(kernel, d_pad, args.n, ib))
             best = (0.0, None)
             for bq, bkv, bd in cands:
-                if args.dtype == "fp32" and (bq > 512 or bkv > 2048):
-                    continue   # fp32 tiles are 2x; keep the grid modest
+                if (args.dtype == "fp32" and not args.blocks
+                        and (bq > 512 or bkv > 2048)):
+                    continue   # fp32 tiles are 2x; keep the auto grid modest
                 key = (kernel, head_dim, args.n, bq, bkv, bd, args.dtype)
                 if key in done:
                     rec = done[key]
