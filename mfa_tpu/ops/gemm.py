@@ -7,7 +7,11 @@ LaplacianTest.swift:201-224) collapsed into one cached call.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import os
+import threading
+import time
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +20,72 @@ from mfa_tpu.kernels import gemm_kernel
 from mfa_tpu.ops.cache import gemm_cache
 from mfa_tpu.ops.descriptors import GEMMDescriptor, round_up
 from mfa_tpu.ops.precision import OperandPrecision
+
+# ---------------------------------------------------------------------------
+# Dispatch-path autotune (the reference's transparent 4-candidate occupancy
+# search at kernel registration, GEMMDescriptor+PipelineCache.swift:75-119 /
+# GEMMShaderCache.cpp:75-160). Opt-in: MFA_AUTOTUNE=1 (env) or
+# set_autotune(True). On the first dispatch of a shape class the hook
+# measures the heuristic's block choice against a few structured variants on
+# the actual device and memoizes the winner for every later dispatch of that
+# class; off (default), dispatch uses the heuristic row directly — zero
+# added latency.
+# ---------------------------------------------------------------------------
+
+_autotune_enabled: bool | None = None     # None → read MFA_AUTOTUNE env
+_tuned_blocks: dict = {}                  # shape-class key → (bm, bn, bk)
+_tuned_lock = threading.Lock()
+
+
+def set_autotune(enabled: bool | None) -> None:
+    """Force dispatch-path autotuning on/off (None = follow MFA_AUTOTUNE)."""
+    global _autotune_enabled
+    _autotune_enabled = enabled
+
+
+def autotune_active() -> bool:
+    if _autotune_enabled is not None:
+        return _autotune_enabled
+    return os.environ.get("MFA_AUTOTUNE", "0") not in ("", "0", "false")
+
+
+def _autotune_candidates(kd, m, n, k):
+    """The heuristic's choice plus structured variants along each block axis
+    (the reference probes exactly {48x48x24, 48x48x32} x async-store; the
+    TPU block space is larger, so probe each axis around the heuristic).
+    Per-candidate operand padding adapts to the blocks, so no divisibility
+    filter — excess padding simply loses the measurement."""
+    lim = lambda b, dim: min(b, round_up(dim, 128))
+    seen, out = set(), []
+    for bm, bn, bk in (
+        (kd.block_m, kd.block_n, kd.block_k),
+        (kd.block_m, kd.block_n, kd.block_k * 2),
+        (kd.block_m, kd.block_n, max(128, kd.block_k // 2)),
+        (max(128, kd.block_m // 2), kd.block_n, kd.block_k),
+        (kd.block_m, max(128, kd.block_n // 2), kd.block_k),
+        (kd.block_m * 2, kd.block_n, kd.block_k),
+    ):
+        cand = (lim(bm, m), lim(bn, n), lim(bk, k))
+        if cand in seen:
+            continue
+        seen.add(cand)
+        out.append(cand)
+    return out
+
+
+def _measure_dispatch(thunk, iters: int = 8):
+    """Cheap on-dispatch timing: warm up (compile), then wall-clock a short
+    run with a host readback as the completion barrier (the tunnel acks
+    block_until_ready at enqueue)."""
+    import numpy as np
+
+    out = thunk()
+    np.asarray(out.ravel()[0])           # sync after compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = thunk()
+    np.asarray(out.ravel()[0])
+    return (time.perf_counter() - t0) / iters
 
 
 def gemm(
@@ -68,12 +138,26 @@ def gemm(
     )
     kd = desc.kernel_descriptor()
 
+    if autotune_active() and not interpret:
+        kd = _autotuned_kd(kd, desc, a, b, c0, out_dtype)
+
+    c = _dispatch(kd, a, b, c0, out_dtype, interpret)[:, :m, :n]
+    return c[0] if squeeze else c
+
+
+def _dispatch(kd, a, b, c0, out_dtype, interpret):
+    """Pad to kd's blocks, fetch/build the cached pipeline, run."""
+    batch = a.shape[0]
+    ta, tb = kd.transpose_a, kd.transpose_b
+    m = a.shape[2] if ta else a.shape[1]
+    k = a.shape[1] if ta else a.shape[2]
+    n = b.shape[1] if tb else b.shape[2]
     m_pad = round_up(m, kd.block_m)
     n_pad = round_up(n, kd.block_n)
     k_pad = round_up(k, kd.block_k)
 
-    a_pad = _pad_operand(a, (k_pad, m_pad) if transpose_a else (m_pad, k_pad))
-    b_pad = _pad_operand(b, (n_pad, k_pad) if transpose_b else (k_pad, n_pad))
+    a_pad = _pad_operand(a, (k_pad, m_pad) if ta else (m_pad, k_pad))
+    b_pad = _pad_operand(b, (n_pad, k_pad) if tb else (k_pad, n_pad))
     args = [a_pad, b_pad]
     if c0 is not None:
         args.append(_pad_operand(c0.astype(out_dtype), (m_pad, n_pad)))
@@ -88,9 +172,38 @@ def gemm(
     key = (kd, batch, m_pad, n_pad, k_pad, str(a.dtype), str(b.dtype),
            str(out_dtype), interpret)
     fn = gemm_cache.get_pipeline(key, key, build, lambda kern: kern)
+    return fn(*args)
 
-    c = fn(*args)[:, :m, :n]
-    return c[0] if squeeze else c
+
+def _autotuned_kd(kd, desc, a, b, c0, out_dtype, measure=None):
+    """Resolve kd's blocks through the on-dispatch autotune memo, running
+    the candidate search on the first miss for this shape class.
+
+    ``measure`` is injectable for tests; defaults to wall-clock dispatch
+    timing on the real device.
+    """
+    cls_key = (desc.m, desc.n, desc.k, desc.batch, str(a.dtype),
+               str(b.dtype), str(out_dtype), desc.transpose_a,
+               desc.transpose_b, desc.load_previous_c)
+    with _tuned_lock:
+        hit = _tuned_blocks.get(cls_key)
+    if hit is None:
+        measure = measure or (
+            lambda cand_kd: _measure_dispatch(
+                lambda: _dispatch(cand_kd, a, b, c0, out_dtype, False)))
+        best, best_t = (kd.block_m, kd.block_n, kd.block_k), None
+        for bm, bn, bk in _autotune_candidates(kd, desc.m, desc.n, desc.k):
+            cand = dataclasses.replace(kd, block_m=bm, block_n=bn, block_k=bk)
+            try:
+                t = measure(cand)
+            except Exception:  # noqa: BLE001 — candidate may not compile
+                continue
+            if best_t is None or t < best_t:
+                best, best_t = (bm, bn, bk), t
+        with _tuned_lock:
+            hit = _tuned_blocks.setdefault(cls_key, best)
+    return dataclasses.replace(
+        kd, block_m=hit[0], block_n=hit[1], block_k=hit[2])
 
 
 def _pad_operand(x, target_hw):

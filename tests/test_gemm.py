@@ -153,3 +153,81 @@ def test_adversarial_fuzz(rng):
             got, want, tol,
             f"fuzz[{trial}] m={m} n={n} k={k} ta={ta} tb={tb} "
             f"c0={with_c0} {a_dt.__name__}/{b_dt.__name__}")
+
+
+# ---------------------------------------------------------------------------
+# Dispatch-path autotune hook (GEMMDescriptor+PipelineCache.swift:75-119)
+# ---------------------------------------------------------------------------
+
+
+def test_autotune_hook_selects_and_memoizes():
+    """On the first dispatch of a shape class the hook measures candidates
+    and memoizes the winner; later dispatches reuse it without measuring."""
+    import dataclasses
+
+    from mfa_tpu.ops import gemm as gemm_mod
+    from mfa_tpu.ops.descriptors import GEMMDescriptor
+    from mfa_tpu.ops.precision import OperandPrecision
+
+    desc = GEMMDescriptor(
+        m=512, n=512, k=512,
+        a_precision=OperandPrecision.BF16,
+        b_precision=OperandPrecision.BF16,
+        c_precision=OperandPrecision.BF16,
+    )
+    kd = desc.kernel_descriptor()
+    a = jnp.zeros((1, 512, 512), jnp.bfloat16)
+
+    calls = []
+
+    def fake_measure(cand_kd):
+        calls.append((cand_kd.block_m, cand_kd.block_n, cand_kd.block_k))
+        # Pretend the smallest block_k candidate wins.
+        return float(cand_kd.block_k)
+
+    gemm_mod._tuned_blocks.clear()
+    tuned = gemm_mod._autotuned_kd(kd, desc, a, a, None, jnp.bfloat16,
+                                   measure=fake_measure)
+    assert len(calls) >= 2                       # probed >1 candidate
+    assert tuned.block_k == min(c[2] for c in calls)   # the fake winner
+    assert tuned.block_k < kd.block_k            # beat the heuristic
+    assert (kd.block_m, kd.block_n, kd.block_k) in calls  # heuristic probed
+
+    # Second resolve: memo hit, no measuring.
+    calls.clear()
+    tuned2 = gemm_mod._autotuned_kd(kd, desc, a, a, None, jnp.bfloat16,
+                                    measure=fake_measure)
+    assert calls == []
+    assert tuned2 == tuned
+    gemm_mod._tuned_blocks.clear()
+
+
+def test_autotune_candidates_cover_heuristic_and_axes():
+    from mfa_tpu.ops import gemm as gemm_mod
+    from mfa_tpu.ops.descriptors import GEMMDescriptor
+    from mfa_tpu.ops.precision import OperandPrecision
+
+    desc = GEMMDescriptor(
+        m=1536, n=1536, k=1536,
+        a_precision=OperandPrecision.BF16,
+        b_precision=OperandPrecision.BF16,
+        c_precision=OperandPrecision.BF16,
+    )
+    kd = desc.kernel_descriptor()
+    cands = gemm_mod._autotune_candidates(kd, desc.m, desc.n, desc.k)
+    assert (kd.block_m, kd.block_n, kd.block_k) in cands
+    assert len(set(cands)) == len(cands)         # deduped
+    assert 2 <= len(cands) <= 6
+
+
+def test_autotune_off_by_default(monkeypatch):
+    from mfa_tpu.ops import gemm as gemm_mod
+
+    monkeypatch.delenv("MFA_AUTOTUNE", raising=False)
+    gemm_mod.set_autotune(None)
+    assert not gemm_mod.autotune_active()
+    monkeypatch.setenv("MFA_AUTOTUNE", "1")
+    assert gemm_mod.autotune_active()
+    gemm_mod.set_autotune(False)
+    assert not gemm_mod.autotune_active()
+    gemm_mod.set_autotune(None)

@@ -80,3 +80,40 @@ def test_tp_llama_int8_forward(rng, devices):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         mesh_mod.make_mesh(dp=4, tp=4, sp=4)  # 64 > 8 devices
+
+
+def test_ring_ppermute_overlap_structure(devices):
+    """Round-2 VERDICT item 7: every ppermute in the ring's scan bodies must
+    be carry-only (no same-iteration consumer) — the structural property
+    that lets XLA's async collective-permute hide under the step's compute.
+    Covers forward (K/V rotation) and backward (K/V + traveling dK/dV)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from mfa_tpu.parallel.ring_attention import ring_flash_attention
+    from mfa_tpu.utils.overlap import check_ppermute_overlap
+
+    mesh = mesh_mod.make_mesh(dp=1, tp=1, sp=8)
+    q = jnp.zeros((1, 2, 512, 64), jnp.float32)
+    spec = P("dp", "tp", "sp", None)
+
+    def fwd(q, k, v):
+        return ring_flash_attention(q, k, v, causal=False, interpret=True)
+
+    rep = check_ppermute_overlap(
+        jax.shard_map(fwd, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+                      check_vma=False), q, q, q)
+    assert rep.ok, rep.violations
+    assert rep.permutes_seen == 2          # K and V rotations
+
+    def loss(q, k, v):
+        o = ring_flash_attention(q, k, v, causal=False, interpret=True)
+        return jnp.sum(o.astype(jnp.float32))
+
+    rep_b = check_ppermute_overlap(
+        jax.shard_map(jax.grad(loss, argnums=(0, 1, 2)), mesh=mesh,
+                      in_specs=(spec,) * 3, out_specs=(spec,) * 3,
+                      check_vma=False), q, q, q)
+    assert rep_b.ok, rep_b.violations
+    assert rep_b.permutes_seen == 6        # fwd K/V + bwd K/V/dK/dV
