@@ -90,6 +90,14 @@ def load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_longlong,
     ]
+    lib.mfa_emit_gemm_blocked.restype = ctypes.c_longlong
+    lib.mfa_emit_gemm_blocked.argtypes = [
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_longlong,
+    ]
     _lib = lib
     return _lib
 
@@ -141,27 +149,32 @@ def hash_bytes(data: bytes) -> int | None:
 def emit_gemm(m: int, n: int, k: int, *, batch: int = 1,
               transpose_a: bool = False, transpose_b: bool = False,
               load_previous_c: bool = False, a_bf16: bool = False,
-              b_bf16: bool = False, c_bf16: bool = False):
+              b_bf16: bool = False, c_bf16: bool = False,
+              blocks: tuple | None = None):
     """C++-side GEMM codegen: descriptor → StableHLO module text.
 
     The native twin of the reference's C++ MSL emitter
     (Documentation/CppReference/GEMM/GEMMKernel.cpp) — see
-    runtime/gemm_emitter.cpp. Returns the module string, or None if the
-    native runtime is unavailable.
+    runtime/gemm_emitter.cpp. The emitted module is tiled by the kernel
+    descriptor: ``blocks=(bm, bn, bk)`` drives pad granularity and the
+    unrolled K-split; None runs the C++ VMEM-budget heuristic. Returns the
+    module string, or None if the native runtime is unavailable.
     """
     lib = load()
     if lib is None:
         return None
-    cap = 4096
-    buf = ctypes.create_string_buffer(cap)
-    n_bytes = lib.mfa_emit_gemm(
-        m, n, k, batch, int(transpose_a), int(transpose_b),
-        int(load_previous_c), int(a_bf16), int(b_bf16), int(c_bf16),
-        buf, cap)
-    if n_bytes >= cap:
-        buf = ctypes.create_string_buffer(n_bytes + 1)
-        lib.mfa_emit_gemm(
+    bm, bn, bk = blocks if blocks else (0, 0, 0)
+
+    def call(buf, cap):
+        return lib.mfa_emit_gemm_blocked(
             m, n, k, batch, int(transpose_a), int(transpose_b),
             int(load_previous_c), int(a_bf16), int(b_bf16), int(c_bf16),
-            buf, n_bytes + 1)
+            bm, bn, bk, buf, cap)
+
+    cap = 1 << 16
+    buf = ctypes.create_string_buffer(cap)
+    n_bytes = call(buf, cap)
+    if n_bytes >= cap:
+        buf = ctypes.create_string_buffer(n_bytes + 1)
+        call(buf, n_bytes + 1)
     return buf.value.decode()

@@ -220,10 +220,20 @@ _BWD_Q_FP32 = """
 # TRAVERSAL block here — K/V/dK/dV residency across the traversal is
 # structural, see module docstring; "Q" marks the pre-scaled slab of the
 # *streamed* q block, re-materialized per traversal step).
+#
+# v5e-measured (scripts/sweep_r2.py round 3, N=4096 H=8,
+# docs/sweeps/r2_sweep.jsonl): the traversal block wants to be the WHOLE
+# sequence (bq=4096 → one streamed pass per kv block, zero re-streaming of
+# the parallel slabs) and the kv block as wide as the dK/dV accumulators
+# allow. D=128: 4096/1024/128 = 0.921 util (vs 0.577 at the round-2 seed
+# class 1024/256); D=256: 4096/512/256 = 0.946 — bd=256 beat bd=128 at
+# every (bq,bkv) pair measured, the opposite of the forward; D=64:
+# 4096/1024 = 0.469, pad-limited (≈0.94 of the d_pad=128 work executed).
+# bq clamps to round_up(seq, 128), so short sequences degrade gracefully.
 _BWD_KV_BF16 = """
-   64   |   256   |    512   |   64    | Q
-  128   |   256   |    256   |  128    | Q
-  256   |   128   |    256   |  256    | Q
+   64   |  4096   |   1024   |  128    | Q
+  128   |  4096   |   1024   |  128    | Q
+  256   |  4096   |    512   |  256    | Q
   inf   |   128   |    128   |  128    |
 """
 

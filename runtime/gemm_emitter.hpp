@@ -33,6 +33,12 @@ struct GEMMEmitParams {
   ElementType a_type = ElementType::kF32;
   ElementType b_type = ElementType::kF32;
   ElementType c_type = ElementType::kF32;
+  // Block config driving the emitted tiling (pad granularity + K-split).
+  // Any non-positive field → run the VMEM-budget heuristic for
+  // `generation` (gemm_kernel_descriptor), so the emitted program always
+  // reflects the framework's block choice.
+  GEMMKernelDescriptor kd{};
+  const char* generation = "v5e";
 };
 
 // Emits a complete StableHLO module with one public function @gemm whose

@@ -98,10 +98,14 @@ unsigned long long mfa_hash_bytes(const void* data, long long len) {
 // (NUL-terminated when it fits). bf16 flags select per-operand element
 // types; the accumulator is always f32 (GEMMKernel.swift:98-103 rule).
 
-long long mfa_emit_gemm(long long m, long long n, long long k,
-                        long long batch, int transpose_a, int transpose_b,
-                        int load_previous_c, int a_bf16, int b_bf16,
-                        int c_bf16, char* out, long long cap) {
+// Explicit-blocks variant: bm/bn/bk <= 0 → run the heuristic
+// (gemm_kernel_descriptor), so every emitted module reflects either the
+// caller's blocks or the framework's own choice — never an untiled ideal.
+long long mfa_emit_gemm_blocked(long long m, long long n, long long k,
+                                long long batch, int transpose_a,
+                                int transpose_b, int load_previous_c,
+                                int a_bf16, int b_bf16, int c_bf16, int bm,
+                                int bn, int bk, char* out, long long cap) {
   mfa::GEMMEmitParams p;
   p.desc.m = m;
   p.desc.n = n;
@@ -110,9 +114,15 @@ long long mfa_emit_gemm(long long m, long long n, long long k,
   p.desc.transpose_a = transpose_a != 0;
   p.desc.transpose_b = transpose_b != 0;
   p.desc.load_previous_c = load_previous_c != 0;
+  p.desc.a_bytes = a_bf16 ? 2.0 : 4.0;
+  p.desc.b_bytes = b_bf16 ? 2.0 : 4.0;
+  p.desc.c_bytes = c_bf16 ? 2.0 : 4.0;
   p.a_type = a_bf16 ? mfa::ElementType::kBF16 : mfa::ElementType::kF32;
   p.b_type = b_bf16 ? mfa::ElementType::kBF16 : mfa::ElementType::kF32;
   p.c_type = c_bf16 ? mfa::ElementType::kBF16 : mfa::ElementType::kF32;
+  p.kd.block_m = bm;
+  p.kd.block_n = bn;
+  p.kd.block_k = bk;
   const std::string text = mfa::emit_gemm_stablehlo(p);
   if (out && cap > 0) {
     const long long ncopy =
@@ -121,6 +131,15 @@ long long mfa_emit_gemm(long long m, long long n, long long k,
     out[ncopy] = '\0';
   }
   return static_cast<long long>(text.size());
+}
+
+long long mfa_emit_gemm(long long m, long long n, long long k,
+                        long long batch, int transpose_a, int transpose_b,
+                        int load_previous_c, int a_bf16, int b_bf16,
+                        int c_bf16, char* out, long long cap) {
+  return mfa_emit_gemm_blocked(m, n, k, batch, transpose_a, transpose_b,
+                               load_previous_c, a_bf16, b_bf16, c_bf16, 0, 0,
+                               0, out, cap);
 }
 
 // ---- opaque two-level cache (payloads are client-owned ints here; the

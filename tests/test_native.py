@@ -134,3 +134,39 @@ def test_emitted_gemm_accumulate_bf16_batch():
     got = _compile_and_run(text, (np.asarray(a), np.asarray(b), c0))
     want = np.asarray(a, np.float32) @ np.asarray(b, np.float32) + c0
     assert np.abs(got - want).max() < 5e-2
+
+
+def test_emitted_gemm_k_split_structure_and_numerics():
+    """Blocked emission: explicit blocks must show up as the pad granularity
+    and an unrolled K-split (nk partial dot_generals chained through f32
+    adds — the graph twin of the Pallas kernel's scratch K loop)."""
+    import numpy as np
+
+    from mfa_tpu.ops import native
+
+    m, n, k = 130, 70, 300           # pads to 256 x 128 x 384 at 128-blocks
+    text = native.emit_gemm(m, n, k, blocks=(128, 128, 128))
+    assert text.count("stablehlo.dot_general") == 3     # ceil(300/128)
+    assert text.count("stablehlo.pad") >= 2             # both operands padded
+    assert "stablehlo.slice" in text                    # k-slices + result
+
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    got = _compile_and_run(text, (a, b))
+    assert np.abs(got - a @ b).max() < 1e-3
+
+
+def test_emitted_gemm_heuristic_blocks_default():
+    """With no explicit blocks the emitter must run the same VMEM-budget
+    heuristic as the dispatch path (C++ twin), so large problems get a
+    K-split without the caller asking."""
+    from mfa_tpu.ops import native, params
+    from mfa_tpu.ops.descriptors import GEMMDescriptor
+
+    m = n = k = 4096
+    kd = GEMMDescriptor(m=m, n=n, k=k).kernel_descriptor(
+        params.GENERATIONS["v5e"])
+    text = native.emit_gemm(m, n, k)
+    want_nk = -(-k // kd.block_k)
+    assert text.count("stablehlo.dot_general") == want_nk
