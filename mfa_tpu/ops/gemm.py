@@ -188,6 +188,11 @@ def _autotuned_kd(kd, desc, a, b, c0, out_dtype, measure=None):
     with _tuned_lock:
         hit = _tuned_blocks.get(cls_key)
     if hit is None:
+        if measure is None and isinstance(a, jax.core.Tracer):
+            # Inside a jit trace there is nothing to time — use the
+            # heuristic without memoizing; the first concrete (eager)
+            # dispatch of this shape class will run the search.
+            return kd
         measure = measure or (
             lambda cand_kd: _measure_dispatch(
                 lambda: _dispatch(cand_kd, a, b, c0, out_dtype, False)))

@@ -47,7 +47,8 @@ def load_done():
                 except json.JSONDecodeError:
                     continue
                 done[(rec["kernel"], rec["d"], rec["n"], rec["bq"],
-                      rec["bkv"], rec["bd"], rec.get("dtype", "bf16"))] = rec
+                      rec["bkv"], rec["bd"], rec.get("dtype", "bf16"),
+                      rec.get("causal", False))] = rec
     return done
 
 
@@ -104,15 +105,17 @@ def bwd_candidates(kernel, d_pad, seq, in_bytes=2):
                 yield bq, bkv, bd
 
 
-def run_one(kernel, head_dim, seq, heads, bq, bkv, bd, gen, dtype=jnp.bfloat16):
+def run_one(kernel, head_dim, seq, heads, bq, bkv, bd, gen, dtype=jnp.bfloat16,
+            causal=False):
     rng = np.random.default_rng(0)
     d_pad = round_up(head_dim, 128)
     mk = lambda shp: jnp.asarray(rng.standard_normal(shp), dtype)
-    flops = attention_flops(kernel, seq, seq, head_dim, batch_heads=heads)
+    flops = attention_flops(kernel, seq, seq, head_dim, batch_heads=heads,
+                            causal=causal)
 
     desc = AttentionDescriptor(
         batch=1, num_q_heads=heads, num_kv_heads=heads,
-        seq_len_q=seq, seq_len_kv=seq, head_dim=head_dim,
+        seq_len_q=seq, seq_len_kv=seq, head_dim=head_dim, causal=causal,
         low_precision_inputs=dtype != jnp.float32,
     )
     ktype = {"forward": AttentionKernelType.FORWARD,
@@ -170,6 +173,9 @@ def main():
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--causal", action="store_true",
+                    help="sweep the causal kernels (block-skip + band "
+                         "masking); FLOPs counted on the ~N²/2 visible area")
     ap.add_argument("--blocks", default=None,
                     help="bq,bkv,bd — measure only this candidate (used for "
                          "hardware-validating a table row at a new N, e.g. "
@@ -211,7 +217,8 @@ def main():
                 if (args.dtype == "fp32" and not args.blocks
                         and (bq > 512 or bkv > 2048)):
                     continue   # fp32 tiles are 2x; keep the auto grid modest
-                key = (kernel, head_dim, args.n, bq, bkv, bd, args.dtype)
+                key = (kernel, head_dim, args.n, bq, bkv, bd, args.dtype,
+                       args.causal)
                 if key in done:
                     rec = done[key]
                     if rec.get("tflops", 0) > best[0]:
@@ -221,12 +228,12 @@ def main():
                 t0 = time.time()
                 try:
                     res = run_one(kernel, head_dim, args.n, args.heads,
-                                  bq, bkv, bd, gen, dtype)
+                                  bq, bkv, bd, gen, dtype, args.causal)
                     if res.tflops > gen.bf16_tflops * 1.05:   # noise guard
                         res = run_one(kernel, head_dim, args.n, args.heads,
-                                      bq, bkv, bd, gen, dtype)
+                                      bq, bkv, bd, gen, dtype, args.causal)
                     rec = {"kernel": kernel, "d": head_dim, "n": args.n,
-                           "dtype": args.dtype,
+                           "dtype": args.dtype, "causal": args.causal,
                            "bq": bq, "bkv": bkv, "bd": bd,
                            "tflops": round(res.tflops, 2),
                            "util": round(res.compute_bound_utilization, 4),
@@ -234,7 +241,7 @@ def main():
                            "wall_s": round(time.time() - t0, 1)}
                 except Exception as e:  # noqa: BLE001
                     rec = {"kernel": kernel, "d": head_dim, "n": args.n,
-                           "dtype": args.dtype,
+                           "dtype": args.dtype, "causal": args.causal,
                            "bq": bq, "bkv": bkv, "bd": bd,
                            "error": f"{type(e).__name__}: {e}"[:200],
                            "wall_s": round(time.time() - t0, 1)}
