@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--wbits", type=int, default=8, choices=[8, 4],
+                    help="weight-only quantization width (8 = headline; "
+                         "4 = BASELINE config 5, INT4 weights + FP8 KV)")
     args = ap.parse_args()
 
     from mfa_tpu.models import llama
@@ -35,12 +38,14 @@ def main():
 
     gen = detect_generation()
     cfg = llama.LlamaConfig(n_layers=args.layers)  # 8B dims, layer-scalable
+    wprec = (OperandPrecision.INT8 if args.wbits == 8
+             else OperandPrecision.INT4)
     print(f"# {args.layers} layers, batch {args.batch}, ctx {args.ctx}, "
-          f"INT8 weights + FP8 KV on {gen.name}", file=sys.stderr)
+          f"INT{args.wbits} weights + FP8 KV on {gen.name}", file=sys.stderr)
 
     t0 = time.time()
     params = llama.init_params(jax.random.key(0), cfg, jnp.bfloat16)
-    params = llama.quantize_params(params, OperandPrecision.INT8)
+    params = llama.quantize_params(params, wprec)
     caches = llama.make_caches(cfg, args.batch, args.ctx + args.steps + 8,
                                OperandPrecision.FP8_E4M3)
     # Fill the context with random KV directly (prefill path measured
@@ -105,16 +110,17 @@ def main():
           f"SoL(step) {sol*1e3:.2f} ms | util {sol/step_latency:.3f}",
           file=sys.stderr)
     rec = {
-        "metric": f"decode_tok_s_chip(8B-int8w-fp8kv,B={args.batch},"
-                  f"ctx={args.ctx},L={args.layers})",
+        "metric": f"decode_tok_s_chip(8B-int{args.wbits}w-fp8kv,"
+                  f"B={args.batch},ctx={args.ctx},L={args.layers})",
         "value": round(tok_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(sol / step_latency, 4),
     }
     print(json.dumps(rec))
     # Persist for bench.py to embed next to the fwd headline (full-config
-    # runs only — smoke runs with reduced layers are not the headline).
-    if args.layers == 32:
+    # runs only — smoke runs with reduced layers are not the headline;
+    # the INT8-weight config is the headline metric).
+    if args.layers == 32 and args.wbits == 8:
         import os
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "docs", "sweeps", "decode_headline.json")
