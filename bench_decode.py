@@ -44,8 +44,10 @@ def main():
           f"INT{args.wbits} weights + FP8 KV on {gen.name}", file=sys.stderr)
 
     t0 = time.time()
-    params = llama.init_params(jax.random.key(0), cfg, jnp.bfloat16)
-    params = llama.quantize_params(params, wprec)
+    # Fused init+quantize: the two-step init_params -> quantize_params peaks
+    # at ~2x the bf16 model and OOMs one v5e chip at 8B scale.
+    params = llama.init_params_quantized(jax.random.key(0), cfg, wprec,
+                                         jnp.bfloat16)
     caches = llama.make_caches(cfg, args.batch, args.ctx + args.steps + 8,
                                OperandPrecision.FP8_E4M3)
     # Fill the context with random KV directly (prefill path measured

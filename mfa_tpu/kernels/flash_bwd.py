@@ -108,14 +108,15 @@ def _bwd_q_kernel(
     n_groups = bq // qg
 
     def build_mask(gi):
+        # Broadcastable iotas, not (qg, bkv) int32 planes — see flash_fwd
+        # (the materialized planes cost MiBs of scoped VMEM at wide blocks).
         rbase = i * bq + gi * qg
+        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (1, bkv), 1)
         m = None
         if col_edge_exists:
-            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (qg, bkv), 1)
             m = col < seq_len_kv
         if is_causal:
-            row = rbase + jax.lax.broadcasted_iota(jnp.int32, (qg, bkv), 0)
-            col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (qg, bkv), 1)
+            row = rbase + jax.lax.broadcasted_iota(jnp.int32, (qg, 1), 0)
             cm = col <= row + offset
             if window is not None:
                 cm &= col >= row + offset - (window - 1)
@@ -153,9 +154,7 @@ def _bwd_q_kernel(
         nd = max(1, q.shape[-1] // kd.block_d)
         ds_dtype = kd.register_dtype(kd.ds_register, k.dtype)
 
-        for gi in range(n_groups):
-            grows = slice(gi * qg, (gi + 1) * qg)
-
+        def bwd_q_group(gi, grows, needs_mask):
             def qk(db, grows=grows):
                 sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
                 q_sl = q[grows, sl]
@@ -178,9 +177,9 @@ def _bwd_q_kernel(
                 cap2 = kd.logit_soft_cap * LOG2E
                 s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
 
-            if block_needs_mask is not None:
+            if needs_mask is not None:
                 s2 = jax.lax.cond(
-                    block_needs_mask,
+                    needs_mask,
                     lambda s, gi=gi: jnp.where(build_mask(gi), s, MASK_VALUE),
                     lambda s: s,
                     s2,
@@ -217,6 +216,28 @@ def _bwd_q_kernel(
                     preferred_element_type=jnp.float32,
                     precision=_prec,
                 )
+
+        for gi in range(n_groups):
+            grows = slice(gi * qg, (gi + 1) * qg)
+            # Group-level causal skip + per-group mask predicate — see
+            # flash_fwd (wide traversal blocks skip their above-diagonal
+            # groups; groups fully inside the band skip the mask work).
+            if is_causal:
+                r0 = i * bq + gi * qg
+                r1 = r0 + qg - 1
+                glive = j * bkv <= r1 + offset
+                gneeds = (j + 1) * bkv - 1 > r0 + offset
+                if window is not None:
+                    glive &= (j + 1) * bkv - 1 >= r0 + offset - (window - 1)
+                    gneeds |= j * bkv < r1 + offset - (window - 1)
+                if col_edge_exists:
+                    gneeds |= j == num_kv_blocks - 1
+
+                @pl.when(glive)
+                def _group(gi=gi, grows=grows, gneeds=gneeds):
+                    bwd_q_group(gi, grows, gneeds)
+            else:
+                bwd_q_group(gi, grows, block_needs_mask)
 
     @pl.when(j == num_kv_blocks - 1)
     def _finalize():
@@ -350,9 +371,10 @@ def _bwd_kv_kernel(
     n_groups = bq // qg
 
     def build_mask(gi):
+        # Broadcastable iotas, not (qg, bkv) int32 planes — see flash_fwd.
         row = (i * bq + gi * qg
-               + jax.lax.broadcasted_iota(jnp.int32, (qg, bkv), 0))
-        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (qg, bkv), 1)
+               + jax.lax.broadcasted_iota(jnp.int32, (qg, 1), 0))
+        col = j * bkv + jax.lax.broadcasted_iota(jnp.int32, (1, bkv), 1)
         cm = col <= row + offset
         if window is not None:
             cm &= col >= row + offset - (window - 1)
@@ -382,12 +404,10 @@ def _bwd_kv_kernel(
         p_dtype = kd.register_dtype(kd.p_register, k.dtype)
         ds_dtype = kd.register_dtype(kd.ds_register, k.dtype)
 
-        dv_parts = [None] * nd
-        dk_parts = [None] * nd
-
-        for gi in range(n_groups):
-            grows = slice(gi * qg, (gi + 1) * qg)
-
+        def kv_group(gi, grows, needs_mask):
+            """One traversal group's (dV, dK) partials: tuple of nd dV
+            blocks then nd dK blocks (flat, so it can be a lax.cond
+            branch result for the causal group skip)."""
             # S = Q K^T (qg, bkv) — row-major; transposed contractions
             # below feed the MXU directly (no materialized S^T, unlike the
             # reference).
@@ -413,9 +433,9 @@ def _bwd_kv_kernel(
                 cap2 = kd.logit_soft_cap * LOG2E
                 s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
 
-            if block_needs_mask is not None:
+            if needs_mask is not None:
                 s2 = jax.lax.cond(
-                    block_needs_mask,
+                    needs_mask,
                     lambda s, gi=gi: jnp.where(build_mask(gi), s, MASK_VALUE),
                     lambda s: s,
                     s2,
@@ -426,15 +446,15 @@ def _bwd_kv_kernel(
             p_cast = p.astype(p_dtype)
 
             # dV partial: P^T dO — contract over rows (dim 0 of both).
+            dv_g = []
             for db in range(nd):
                 sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-                pv = jax.lax.dot_general(
+                dv_g.append(jax.lax.dot_general(
                     p_cast, d_o[grows, sl],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=_prec,
-                )
-                dv_parts[db] = pv if dv_parts[db] is None else dv_parts[db] + pv
+                ))
 
             # dP = dO V^T  (qg, bkv)
             def dov(db, grows=grows):
@@ -457,15 +477,48 @@ def _bwd_kv_kernel(
             ds_cast = ds.astype(ds_dtype)
 
             # dK partial: dS^T Q — contract over rows.
+            dk_g = []
             for db in range(nd):
                 sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
-                dk = jax.lax.dot_general(
+                dk_g.append(jax.lax.dot_general(
                     ds_cast, q[grows, sl],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=_prec,
+                ))
+            return tuple(dv_g) + tuple(dk_g)
+
+        bkv_rows = k.shape[0]
+        dv_parts = [None] * nd
+        dk_parts = [None] * nd
+
+        for gi in range(n_groups):
+            grows = slice(gi * qg, (gi + 1) * qg)
+            # Group-level causal skip (see flash_fwd): dead groups return
+            # zero partials through the cond's other branch — no matmuls.
+            if is_causal:
+                r0 = i * bq + gi * qg
+                r1 = r0 + qg - 1
+                glive = j * bkv <= r1 + offset
+                gneeds = (j + 1) * bkv - 1 > r0 + offset
+                if window is not None:
+                    glive &= (j + 1) * bkv - 1 >= r0 + offset - (window - 1)
+                    gneeds |= j * bkv < r1 + offset - (window - 1)
+                parts = jax.lax.cond(
+                    glive,
+                    lambda gi=gi, grows=grows, gneeds=gneeds: kv_group(
+                        gi, grows, gneeds),
+                    lambda: tuple(
+                        jnp.zeros((bkv_rows, kd.block_d), jnp.float32)
+                        for _ in range(2 * nd)),
                 )
-                dk_parts[db] = dk if dk_parts[db] is None else dk_parts[db] + dk
+            else:
+                parts = kv_group(gi, grows, block_needs_mask)
+            for db in range(nd):
+                dv_parts[db] = (parts[db] if dv_parts[db] is None
+                                else dv_parts[db] + parts[db])
+                dk_parts[db] = (parts[nd + db] if dk_parts[db] is None
+                                else dk_parts[db] + parts[nd + db])
 
         for db in range(nd):
             sl = slice(db * kd.block_d, (db + 1) * kd.block_d)

@@ -112,16 +112,20 @@ def _fwd_kernel(
     n_groups = bq // qg
 
     def build_mask(ti, gi):
+        # Broadcastable (1, inner) column / (qg, 1) row iotas instead of
+        # materialized (qg, inner) int32 planes: at qg=256 x bkv=4096 the
+        # 2-D iotas cost 4 MiB EACH in VMEM (the round-3 causal-D=256
+        # scoped-vmem OOM) — the broadcast compare produces only the bool
+        # mask.
         base = j * bkv + ti * inner
         rbase = i * bq + gi * qg
+        col = base + jax.lax.broadcasted_iota(jnp.int32, (1, inner), 1)
         m = None
         if col_edge_exists:
-            col = base + jax.lax.broadcasted_iota(jnp.int32, (qg, inner), 1)
-            m = col < seq_len_kv
+            m = col < seq_len_kv           # (1, inner), broadcasts over rows
         if is_causal:
-            row = rbase + jax.lax.broadcasted_iota(jnp.int32, (qg, inner), 0)
-            col = base + jax.lax.broadcasted_iota(jnp.int32, (qg, inner), 1)
-            cm = col <= row + offset
+            row = rbase + jax.lax.broadcasted_iota(jnp.int32, (qg, 1), 0)
+            cm = col <= row + offset       # (qg, inner) bool via broadcast
             if window is not None:
                 cm &= col >= row + offset - (window - 1)
             m = cm if m is None else (m & cm)
@@ -169,8 +173,7 @@ def _fwd_kernel(
         # q-row group is a fully data-independent MXU→VPU→MXU chain the
         # scheduler may interleave. Default block_q_inner=256 (measured best,
         # scripts/ab_subtile.py); block_q_inner in {0, bq} = single group.
-        for gi in range(n_groups):
-            grows = slice(gi * qg, (gi + 1) * qg)
+        def fwd_group(gi, grows, needs_mask):
             m_run = m_scr[grows]                             # (qg, 1)
             l_run = l_scr[grows]
 
@@ -204,10 +207,11 @@ def _fwd_kernel(
                     s = cap2 * jnp.tanh(s / cap2)
 
                 # --- masking (edge + causal), large-finite sentinel.
-                # Scalar-predicated: only blocks the mask can bite pay. ---
-                if block_needs_mask is not None:
+                # Scalar-predicated per GROUP: only groups a band/edge can
+                # bite pay the VPU mask work. ---
+                if needs_mask is not None:
                     s = jax.lax.cond(
-                        block_needs_mask,
+                        needs_mask,
                         lambda s, ti=ti, gi=gi: jnp.where(
                             build_mask(ti, gi), s, MASK_VALUE),
                         lambda s: s,
@@ -241,6 +245,37 @@ def _fwd_kernel(
 
             m_scr[grows] = m_run
             l_scr[grows] = l_run
+
+        for gi in range(n_groups):
+            grows = slice(gi * qg, (gi + 1) * qg)
+            # Group-level causal skip: a group whose LAST row sees none of
+            # this kv block's columns contributes nothing — predicate the
+            # whole group chain on its own diagonal test, so wide traversal
+            # blocks still skip their above-diagonal parts at qg
+            # granularity (block-level skip alone leaves every diagonal-
+            # straddling block paying full compute; at bkv = N that is
+            # EVERY block, measured 0.19 util in the round-3 causal bench).
+            # The mask predicate is likewise per group: a group fully below
+            # the band skips the VPU mask work its block would have paid.
+            if is_causal:
+                r0 = i * bq + gi * qg
+                r1 = r0 + qg - 1
+                glive = j * bkv <= r1 + offset
+                gneeds = (j + 1) * bkv - 1 > r0 + offset
+                if window is not None:
+                    # Live iff the block reaches the union of row windows
+                    # [r0+off-w+1, r1+off]: the lower edge is set by the
+                    # group's FIRST row (windows slide right with the row).
+                    glive &= (j + 1) * bkv - 1 >= r0 + offset - (window - 1)
+                    gneeds |= j * bkv < r1 + offset - (window - 1)
+                if col_edge_exists:
+                    gneeds |= j == num_kv_blocks - 1
+
+                @pl.when(glive)
+                def _group(gi=gi, grows=grows, gneeds=gneeds):
+                    fwd_group(gi, grows, gneeds)
+            else:
+                fwd_group(gi, grows, block_needs_mask)
 
     @pl.when(j == num_kv_blocks - 1)
     def _finalize():

@@ -111,6 +111,73 @@ def init_params(key, cfg: LlamaConfig, dtype=jnp.bfloat16):
 _QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
+def init_params_quantized(key, cfg: LlamaConfig,
+                          precision: OperandPrecision,
+                          dtype=jnp.bfloat16):
+    """Memory-lean init for big models: each projection is created AND
+    weight-only-quantized inside one jitted computation, so its
+    full-precision form is only ever a transient inside XLA — peak HBM ≈
+    final quantized bytes + one projection. The plain
+    ``quantize_params(init_params(...))`` sequence peaks at ~2× the bf16
+    model (16 GB+ for 8B), which OOMs a single v5e chip (round-3
+    bench_decode post-mortem). Produces the same pytree as that sequence
+    up to ±1 quantization step on jit-fused rounding ties (the transient is
+    rounded through ``dtype`` exactly like ``init_params`` stores it;
+    locked by tests/test_llama.py).
+    """
+    if precision not in (OperandPrecision.INT8, OperandPrecision.INT4):
+        raise ValueError(f"unsupported weight precision {precision}")
+    int8 = precision is OperandPrecision.INT8
+    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def qdense(k, d_in, d_out):
+        w = jax.random.normal(k, (d_in, d_out), jnp.float32)
+        w = (w / math.sqrt(d_in)).astype(dtype)      # same rounding as init
+        wf = w.astype(jnp.float32)
+        if int8:
+            vals, scale = quant.quantize_int8(wf.T, axis=-1)
+            return vals.T, scale.T
+        vals, scale = quant.quantize_int4(wf.T, axis=-1)
+        return vals, scale
+
+    kind = "int8" if int8 else "int4"
+
+    def qd(k, d_in, d_out):
+        vals, scale = qdense(k, d_in, d_out)
+        return quant.QuantizedWeight(vals, scale, kind)
+
+    def dense(k, d_in, d_out):
+        w = jax.random.normal(k, (d_in, d_out), jnp.float32)
+        return (w / math.sqrt(d_in)).astype(dtype)
+
+    params = {
+        "embed": jax.random.normal(
+            next(keys), (cfg.vocab_size, cfg.dim), jnp.float32
+        ).astype(dtype) * 0.02,
+        "final_norm": jnp.ones((cfg.dim,), jnp.float32),
+        "layers": [],
+    }
+    hd = cfg.head_dim
+    for _ in range(cfg.n_layers):
+        params["layers"].append({
+            "attn_norm": jnp.ones((cfg.dim,), jnp.float32),
+            "wq": qd(next(keys), cfg.dim, cfg.n_heads * hd),
+            "wk": qd(next(keys), cfg.dim, cfg.n_kv_heads * hd),
+            "wv": qd(next(keys), cfg.dim, cfg.n_kv_heads * hd),
+            "wo": qd(next(keys), cfg.n_heads * hd, cfg.dim),
+            "mlp_norm": jnp.ones((cfg.dim,), jnp.float32),
+            "w_gate": qd(next(keys), cfg.dim, cfg.ffn_hidden),
+            "w_up": qd(next(keys), cfg.dim, cfg.ffn_hidden),
+            "w_down": qd(next(keys), cfg.ffn_hidden, cfg.dim),
+        })
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(next(keys), cfg.dim, cfg.vocab_size)
+    return params
+
+
 def quantize_params(params, precision: OperandPrecision):
     """Weight-only quantization of every projection (INT8 or INT4),
     per-output-channel scales over the input axis. Embedding/lm_head stay

@@ -226,14 +226,19 @@ _BWD_Q_FP32 = """
 # sequence (bq=4096 → one streamed pass per kv block, zero re-streaming of
 # the parallel slabs) and the kv block as wide as the dK/dV accumulators
 # allow. D=128: 4096/1024/128 = 0.921 util (vs 0.577 at the round-2 seed
-# class 1024/256); D=256: 4096/512/256 = 0.946 — bd=256 beat bd=128 at
-# every (bq,bkv) pair measured, the opposite of the forward; D=64:
-# 4096/1024 = 0.469, pad-limited (≈0.94 of the d_pad=128 work executed).
-# bq clamps to round_up(seq, 128), so short sequences degrade gracefully.
+# class 1024/256); D=64: 4096/1024 = 0.469, pad-limited (≈0.94 of the
+# d_pad=128 work executed). D=256: the sweep's best was 4096/512/256 =
+# 0.946, but that row overflows scoped VMEM by 512 KiB when composed in the
+# full train-step VJP (the lane-replicated L/D-term blocks double-buffer at
+# 2 MiB each at bq=4096×D=256 — bench_train round-3 OOM); ship the measured
+# runner-up 2048/512/256 = 0.927 which fits with ~5 MiB headroom. bd=256
+# beat bd=128 at every (bq,bkv) pair measured — the opposite of the
+# forward. bq clamps to round_up(seq, 128), so short sequences degrade
+# gracefully.
 _BWD_KV_BF16 = """
    64   |  4096   |   1024   |  128    | Q
   128   |  4096   |   1024   |  128    | Q
-  256   |  4096   |    512   |  256    | Q
+  256   |  2048   |    512   |  256    | Q
   inf   |   128   |    128   |  128    |
 """
 
@@ -299,4 +304,14 @@ def vmem_bytes_estimate(
     if kernel_type != "forward":
         # backward holds more slabs (dO or K/V + two accumulators)
         resident += bq * d * in_bytes + bq * d_pad * acc
+    # Lane-replicated row vectors (L out for forward; L in + D-term for the
+    # backwards) are (bq, 128) fp32 blocks — 512 B/row each, which matters
+    # at bq=4096 (the round-3 bench_train OOM: the bwd_kv 4096-row D=256
+    # config exceeded scoped VMEM by 512 KiB through exactly these
+    # buffers). Counted single-buffered: calibrated against measured
+    # compile outcomes (D=128 bq=4096 fits on-chip, D=256 bq=4096 does
+    # not), since the whole model is a conservative envelope, not Mosaic's
+    # actual allocator.
+    aux_rows = 1 if kernel_type == "forward" else 2
+    resident += aux_rows * bq * 128 * acc
     return int(streamed + resident + tile)

@@ -219,8 +219,12 @@ def tune_gemm(m: int = 1536, n: int = 1536, k: int = 1536,
                                    a, flops, 0, generation=gen, trials=3)
         return measure(jax.jit(call), (a, b), flops, 0, generation=gen)
 
-    # Baseline: XLA-native matmul (what we must match or beat).
-    xla_res = bench(lambda x, y: jnp.einsum("bmk,bkn->bmn", x, y))
+    # Baseline: XLA-native matmul (what we must match or beat). Retry on a
+    # physically impossible slope (tunnel jitter ate the window).
+    for _ in range(3):
+        xla_res = bench(lambda x, y: jnp.einsum("bmk,bkn->bmn", x, y))
+        if xla_res.tflops <= gen.bf16_tflops * 1.1:
+            break
     verbose(f"  XLA native: {xla_res.tflops:7.1f} TFLOP/s")
 
     prec = OperandPrecision.from_dtype(dtype)
@@ -239,6 +243,10 @@ def tune_gemm(m: int = 1536, n: int = 1536, k: int = 1536,
         except Exception as e:  # noqa: BLE001 — candidate may not compile
             verbose(f"  bm={bm:4d} bn={bn:4d} bk={bk:4d}  FAILED "
                     f"{type(e).__name__}")
+            continue
+        if res.tflops > gen.bf16_tflops * 1.1:   # physically impossible
+            verbose(f"  bm={bm:4d} bn={bn:4d} bk={bk:4d}  UNSTABLE "
+                    f"({res.tflops:.0f} TFLOP/s > peak) — discarded")
             continue
         results.append((res.tflops, (bm, bn, bk)))
         verbose(f"  bm={bm:4d} bn={bn:4d} bk={bk:4d}  {res.tflops:7.1f} "

@@ -130,17 +130,24 @@ def measure_chained(step_fn, init, flops_per_iter: float,
     # Calibrate: per-iteration time from the SLOPE of two warm chain lengths
     # (a single run is inflated by the ~30 ms tunnel sync, which would keep
     # chains too short); then raise n_big until the slope window dominates
-    # sync jitter.
-    t0 = time.perf_counter()
-    _sync(loop(init, n_small))
-    t_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _sync(loop(init, n_big))
-    t_b = time.perf_counter() - t0
-    t_est = max((t_b - t_s) / (n_big - n_small), t_b / n_big / 8, 1e-7)
-    need = int(min_window_s / t_est) + n_small
-    if need > n_big:
-        n_big = min(need, 4096)
+    # sync jitter. ITERATIVE estimate-then-jump: for microsecond kernels
+    # (512^3 GEMM ≈ 1.5 us needs ~200k chained iterations) the first
+    # estimate is itself sync-floor noise, so a single jump under-shoots —
+    # the round-3 gemm bench produced 268,000 "TFLOP/s" garbage slopes that
+    # way. The cap bounds pathological cases; fori_loop compile is O(1) in
+    # the trip count.
+    for _ in range(8):
+        t0 = time.perf_counter()
+        _sync(loop(init, n_small))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(loop(init, n_big))
+        t_b = time.perf_counter() - t0
+        if t_b - t_s >= min_window_s or n_big >= (1 << 19):
+            break
+        t_est = max((t_b - t_s) / (n_big - n_small), 1e-9)
+        need = int(min_window_s / t_est) + n_small
+        n_big = min(max(need, n_big * 2), 1 << 19)
         _sync(loop(init, n_big))   # compile + warm the recalibrated variant
 
     slopes = []

@@ -43,19 +43,36 @@ def bench_d(head_dim: int, seq: int, heads: int, gen, causal: bool):
         q, f_fwd, 0, generation=gen)
 
     # Full train step: fwd + both backward kernels via the custom VJP —
-    # the (9D+15)·N² cost model (README.md:41-46).
+    # the (9D+15)·N² cost model (README.md:41-46). Differentiate w.r.t. ALL
+    # THREE operands and chain all three gradients forward: with only dQ
+    # consumed, XLA dead-code-eliminates the entire backward_key_value
+    # pallas_call (its outputs would be unused) and the "train step" silently
+    # measures (5D+10) work while being credited (9D+15) — the round-3 bug
+    # that produced impossible >100% utilization on the first run.
     f_train = attention_flops("train", seq, seq, head_dim,
                               batch_heads=heads, causal=causal)
 
-    def train_step(x):
-        def loss(q_):
-            o = flash_attention(q_, k, v, causal=causal, interpret=False)
+    def train_step(args):
+        def loss(t):
+            o = flash_attention(t[0], t[1], t[2], causal=causal,
+                                interpret=False)
             return jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32))
 
-        g = jax.grad(loss)(x)
-        return g.astype(x.dtype)
+        gq, gk, gv = jax.grad(loss)(args)
+        return (gq.astype(jnp.bfloat16), gk.astype(jnp.bfloat16),
+                gv.astype(jnp.bfloat16))
 
-    res_t = measure_chained(train_step, q, f_train, 0, generation=gen)
+    res_t = measure_chained(train_step, (q, k, v), f_train, 0,
+                            generation=gen)
+
+    # Physical sanity: utilization above the MXU peak means the FLOP
+    # accounting and the measured program diverged (e.g. a kernel was
+    # dead-code-eliminated). Refuse to record impossible numbers.
+    for nm, r in (("fwd", res_f), ("train", res_t)):
+        if r.compute_bound_utilization > 1.05:
+            raise RuntimeError(
+                f"{nm} utilization {r.compute_bound_utilization:.2f} > 1 — "
+                f"cost model and measured program diverged; not recording")
 
     return {
         "d": head_dim, "n": seq, "heads": heads, "causal": causal,

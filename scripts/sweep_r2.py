@@ -58,8 +58,12 @@ def record(rec):
         f.flush()
 
 
-def fwd_candidates(d_pad, seq, in_bytes=2):
+def fwd_candidates(d_pad, seq, in_bytes=2, causal=False):
     bkv_opts = (2048, 4096) if in_bytes == 2 else (512, 1024, 2048)
+    if causal:
+        # Finer traversal blocks give the causal block/group skip its
+        # granularity (at bkv = N every block straddles the diagonal).
+        bkv_opts = tuple(sorted(set(bkv_opts) | {512, 1024}))
     for bq in (256, 512, 1024, 2048):
         for bkv in bkv_opts:
             if bkv > seq:
@@ -77,7 +81,7 @@ def fwd_candidates(d_pad, seq, in_bytes=2):
                 yield bq, bkv, bd
 
 
-def bwd_candidates(kernel, d_pad, seq, in_bytes=2):
+def bwd_candidates(kernel, d_pad, seq, in_bytes=2, causal=False):
     # Forward sweeps showed the wide dimension should be the TRAVERSAL one
     # (streamed blocks amortize softmax/rescale work). bwd_q parallelizes
     # over q and streams kv; bwd_kv parallelizes over kv and streams q.
@@ -85,6 +89,8 @@ def bwd_candidates(kernel, d_pad, seq, in_bytes=2):
         par_dims, trav_dims = (256, 512, 1024), (1024, 2048, 4096)
     else:
         par_dims, trav_dims = (256, 512, 1024), (1024, 2048, 4096)
+    if causal:
+        trav_dims = (512,) + trav_dims   # skip granularity (see fwd)
     for par in par_dims:
         for trav in trav_dims:
             bq, bkv = (par, trav) if kernel == "backward_query" else (trav, par)
@@ -209,9 +215,10 @@ def main():
             if args.blocks:
                 cands = [(ebq, ebkv, ebd)]
             else:
-                cands = (fwd_candidates(d_pad, args.n, ib)
+                cands = (fwd_candidates(d_pad, args.n, ib, args.causal)
                          if kernel == "forward"
-                         else bwd_candidates(kernel, d_pad, args.n, ib))
+                         else bwd_candidates(kernel, d_pad, args.n, ib,
+                                             args.causal))
             best = (0.0, None)
             for bq, bkv, bd in cands:
                 if (args.dtype == "fp32" and not args.blocks

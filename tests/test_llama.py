@@ -80,3 +80,39 @@ def test_decode_with_quantized_kv(setup):
     # token) but same top-1 behavior expected.
     agree = (jnp.argmax(logits, -1) == jnp.argmax(full_logits[:, -1], -1)).mean()
     assert float(agree) == 1.0
+
+
+def test_init_params_quantized_matches_two_step():
+    """The memory-lean fused init+quantize must produce the same pytree as
+    init_params -> quantize_params (bit-identical: same keys, same dtype
+    rounding), so the decode benchmark measures the same model it would
+    have measured before the OOM fix (up to ±1 quantization step on jit-
+    fused rounding ties)."""
+    import numpy as np
+
+    from mfa_tpu.ops.precision import OperandPrecision
+
+    cfg = llama.LlamaConfig.tiny()
+    key = jax.random.key(7)
+    want = llama.quantize_params(
+        llama.init_params(key, cfg, jnp.bfloat16), OperandPrecision.INT8)
+    got = llama.init_params_quantized(key, cfg, OperandPrecision.INT8,
+                                      jnp.bfloat16)
+
+    wl, gl = jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)
+    assert len(wl) == len(gl)
+    for w, g in zip(wl, gl):
+        assert w.shape == g.shape and w.dtype == g.dtype
+        wa, ga = np.asarray(w), np.asarray(g)
+        if wa.dtype == np.int8:
+            # jit-fused rounding may flip exact .5 ties by one step
+            assert np.abs(wa.astype(np.int32) - ga.astype(np.int32)).max() <= 1
+        else:
+            np.testing.assert_allclose(wa.astype(np.float32),
+                                       ga.astype(np.float32), rtol=1e-6,
+                                       atol=0)
+
+    # INT4 variant: structure parity is enough (packing already covered).
+    got4 = llama.init_params_quantized(key, cfg, OperandPrecision.INT4,
+                                       jnp.bfloat16)
+    assert got4["layers"][0]["wq"].kind == "int4"
