@@ -65,7 +65,10 @@ def main():
                          jnp.int32)
     print(f"# setup {time.time()-t0:.0f}s", file=sys.stderr)
 
-    def many_steps(tokens, caches, n):
+    # params travels as an ARGUMENT: closing over it captures ~9 GB of
+    # weights as jit constants, which the lowering then ships through the
+    # AOT compile path (round-3 post-mortem — the tunnel compile choked).
+    def many_steps(params, tokens, caches, n):
         def body(carry, _):
             tok, caches = carry
             logits, caches = llama.decode_step(params, cfg, tok, caches,
@@ -77,14 +80,13 @@ def main():
                                         length=n)
         return tok, caches
 
-    import functools
-    loop = jax.jit(functools.partial(many_steps), static_argnums=2)
+    loop = jax.jit(many_steps, static_argnums=3)
 
     def sync(x):
         np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
 
     t0 = time.time()
-    out = loop(tokens, caches, 4)
+    out = loop(params, tokens, caches, 4)
     sync(out)
     print(f"# compile {time.time()-t0:.0f}s", file=sys.stderr)
 
@@ -92,10 +94,10 @@ def main():
     slopes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        sync(loop(tokens, caches, 4))
+        sync(loop(params, tokens, caches, 4))
         t_small = time.perf_counter() - t0
         t0 = time.perf_counter()
-        sync(loop(tokens, caches, args.steps))
+        sync(loop(params, tokens, caches, args.steps))
         t_big = time.perf_counter() - t0
         slopes.append((t_big - t_small) / (args.steps - 4))
     slopes.sort()

@@ -128,11 +128,11 @@ def init_params_quantized(key, cfg: LlamaConfig,
     if precision not in (OperandPrecision.INT8, OperandPrecision.INT4):
         raise ValueError(f"unsupported weight precision {precision}")
     int8 = precision is OperandPrecision.INT8
-    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
+    all_keys = jax.random.split(key, cfg.n_layers * 7 + 3)
+    ki = 0
+    kind = "int8" if int8 else "int4"
+    hd = cfg.head_dim
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnums=(1, 2))
     def qdense(k, d_in, d_out):
         w = jax.random.normal(k, (d_in, d_out), jnp.float32)
         w = (w / math.sqrt(d_in)).astype(dtype)      # same rounding as init
@@ -143,11 +143,18 @@ def init_params_quantized(key, cfg: LlamaConfig,
         vals, scale = quant.quantize_int4(wf.T, axis=-1)
         return vals, scale
 
-    kind = "int8" if int8 else "int4"
-
-    def qd(k, d_in, d_out):
-        vals, scale = qdense(k, d_in, d_out)
-        return quant.QuantizedWeight(vals, scale, kind)
+    # One compiled function covers every layer (identical shapes): a single
+    # compile + n_layers dispatches instead of 7·n_layers per-tensor
+    # dispatches, which dominated the 8B setup time over the remote tunnel
+    # (~26 min round-3; per-layer it is a few minutes).
+    @jax.jit
+    def qlayer(keys7):
+        shapes = ((cfg.dim, cfg.n_heads * hd), (cfg.dim, cfg.n_kv_heads * hd),
+                  (cfg.dim, cfg.n_kv_heads * hd), (cfg.n_heads * hd, cfg.dim),
+                  (cfg.dim, cfg.ffn_hidden), (cfg.dim, cfg.ffn_hidden),
+                  (cfg.ffn_hidden, cfg.dim))
+        return tuple(qdense(keys7[t], di, do)
+                     for t, (di, do) in enumerate(shapes))
 
     def dense(k, d_in, d_out):
         w = jax.random.normal(k, (d_in, d_out), jnp.float32)
@@ -155,26 +162,23 @@ def init_params_quantized(key, cfg: LlamaConfig,
 
     params = {
         "embed": jax.random.normal(
-            next(keys), (cfg.vocab_size, cfg.dim), jnp.float32
+            all_keys[ki], (cfg.vocab_size, cfg.dim), jnp.float32
         ).astype(dtype) * 0.02,
         "final_norm": jnp.ones((cfg.dim,), jnp.float32),
         "layers": [],
     }
-    hd = cfg.head_dim
+    ki += 1
+    names = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
     for _ in range(cfg.n_layers):
-        params["layers"].append({
-            "attn_norm": jnp.ones((cfg.dim,), jnp.float32),
-            "wq": qd(next(keys), cfg.dim, cfg.n_heads * hd),
-            "wk": qd(next(keys), cfg.dim, cfg.n_kv_heads * hd),
-            "wv": qd(next(keys), cfg.dim, cfg.n_kv_heads * hd),
-            "wo": qd(next(keys), cfg.n_heads * hd, cfg.dim),
-            "mlp_norm": jnp.ones((cfg.dim,), jnp.float32),
-            "w_gate": qd(next(keys), cfg.dim, cfg.ffn_hidden),
-            "w_up": qd(next(keys), cfg.dim, cfg.ffn_hidden),
-            "w_down": qd(next(keys), cfg.ffn_hidden, cfg.dim),
-        })
+        qw = qlayer(all_keys[ki:ki + 7])
+        ki += 7
+        layer = {"attn_norm": jnp.ones((cfg.dim,), jnp.float32),
+                 "mlp_norm": jnp.ones((cfg.dim,), jnp.float32)}
+        for t, name in enumerate(names):
+            layer[name] = quant.QuantizedWeight(qw[t][0], qw[t][1], kind)
+        params["layers"].append(layer)
     if not cfg.tie_embeddings:
-        params["lm_head"] = dense(next(keys), cfg.dim, cfg.vocab_size)
+        params["lm_head"] = dense(all_keys[ki], cfg.dim, cfg.vocab_size)
     return params
 
 

@@ -189,12 +189,17 @@ def gemm_candidates(m: int, n: int, k: int, in_bytes: int,
 
 
 def tune_gemm(m: int = 1536, n: int = 1536, k: int = 1536,
-              dtype=jnp.bfloat16, verbose=print):
+              dtype=jnp.bfloat16, verbose=print, max_candidates=None):
     """Sweep GEMM block shapes and compare against XLA's native matmul.
 
     Returns (results, xla_tflops): results sorted best-first as
     [(tflops, (bm, bn, bk)), ...]; the reference benchmarks its GEMM the
     same way at 512^3 / 1488^3 / 1489^3 (CppReference/main.cpp:23-43).
+
+    ``max_candidates`` bounds the sweep (heuristic's choice first, then the
+    dispatch-hook's structured variants, then the full grid) — chained
+    calibration costs several compiles per candidate over the tunnel, so
+    the full grid is an offline-only affair.
     """
     import dataclasses as _dc
 
@@ -232,8 +237,17 @@ def tune_gemm(m: int = 1536, n: int = 1536, k: int = 1536,
                           c_precision=prec)
     base_kd = desc.kernel_descriptor(gen)
 
+    cands = list(gemm_candidates(m, n, k, jnp.dtype(dtype).itemsize, gen))
+    if max_candidates is not None and len(cands) > max_candidates:
+        from mfa_tpu.ops.gemm import _autotune_candidates
+
+        lean = [c for c in _autotune_candidates(base_kd, m, n, k)
+                if c in cands]
+        rest = [c for c in cands if c not in lean]
+        cands = (lean + rest)[:max_candidates]
+
     results = []
-    for bm, bn, bk in gemm_candidates(m, n, k, jnp.dtype(dtype).itemsize, gen):
+    for bm, bn, bk in cands:
         kd = _dc.replace(base_kd, block_m=bm, block_n=bn, block_k=bk)
         try:
             fn = gemm_kernel.build_gemm(

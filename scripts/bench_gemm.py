@@ -71,7 +71,8 @@ def main():
     gen = detect_generation()
     for size in (512, 1488, 1489):
         print(f"# tuning gemm {size}^3 bf16", flush=True)
-        results, xla_tflops = tune_gemm(size, size, size, jnp.bfloat16)
+        results, xla_tflops = tune_gemm(size, size, size, jnp.bfloat16,
+                                        max_candidates=8)
         if not results:
             continue
         best_tf, blocks = results[0]
