@@ -277,8 +277,23 @@ def build_bwd_query(
     def row_map(bh, i, j):
         return (bh, i, 0)
 
-    def kv_map(bh, i, j):
-        return (bh // group, j, 0)
+    # Causal/window DMA elision via index-map clamp (see flash_fwd).
+    if kd.causal or kd.sliding_window is not None:
+        offset = seq_len_kv - seq_len_q
+
+        def kv_map(bh, i, j):
+            j_max = jnp.maximum(
+                ((i + 1) * kd.block_q - 1 + offset) // kd.block_kv, 0)
+            jj = jnp.minimum(j, j_max)
+            if kd.sliding_window is not None:
+                j_min = jnp.clip(
+                    (i * kd.block_q + offset - (kd.sliding_window - 1))
+                    // kd.block_kv, 0, num_kv_blocks - 1)
+                jj = jnp.maximum(jj, j_min)
+            return (bh // group, jj, 0)
+    else:
+        def kv_map(bh, i, j):
+            return (bh // group, j, 0)
 
     return pl.pallas_call(
         kernel,
@@ -562,10 +577,19 @@ def build_bwd_key_value(
     )
 
     # Traversal axis t enumerates (g, i): query head g of the group, then
-    # its q blocks. bh of the q-side = bh_kv * group + g.
+    # its q blocks. bh of the q-side = bh_kv * group + g. For causal, dead
+    # q blocks (above the diagonal) clamp to the first live block so their
+    # DMA is elided (see flash_fwd).
+    causal_like = kd.causal or kd.sliding_window is not None
+    offset = seq_len_kv - seq_len_q
+
     def q_map(bhkv, j, t):
         g = t // num_q_blocks
         i = t % num_q_blocks
+        if causal_like:
+            i_min = jnp.clip((j * kd.block_kv - offset) // kd.block_q,
+                             0, num_q_blocks - 1)
+            i = jnp.maximum(i, i_min)
         return (bhkv * group + g, i, 0)
 
     def kv_map(bhkv, j, t):
