@@ -89,7 +89,12 @@ def _bwd_q_kernel(
     offset = seq_len_kv - seq_len_q
     window = kd.sliding_window
     is_causal = kd.causal or window is not None
-    if is_causal:
+    # Causal modes — see flash_fwd: "blockskip" (block-level pl.when +
+    # unconditional masks) measured best; per-group lax.cond ("skip") runs
+    # slower than not skipping at all.
+    dense = is_causal and kd.causal_mode == "dense"
+    blockskip = is_causal and kd.causal_mode == "blockskip"
+    if is_causal and not dense:
         block_live = j * bkv <= (i + 1) * bq - 1 + offset
         if window is not None:
             block_live &= (j + 1) * bkv - 1 >= i * bq + offset - (window - 1)
@@ -154,7 +159,7 @@ def _bwd_q_kernel(
         nd = max(1, q.shape[-1] // kd.block_d)
         ds_dtype = kd.register_dtype(kd.ds_register, k.dtype)
 
-        def bwd_q_group(gi, grows, needs_mask):
+        def bwd_q_group(gi, grows, needs_mask, mask_always=False):
             def qk(db, grows=grows):
                 sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
                 q_sl = q[grows, sl]
@@ -177,7 +182,9 @@ def _bwd_q_kernel(
                 cap2 = kd.logit_soft_cap * LOG2E
                 s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
 
-            if needs_mask is not None:
+            if mask_always:
+                s2 = jnp.where(build_mask(gi), s2, MASK_VALUE)
+            elif needs_mask is not None:
                 s2 = jax.lax.cond(
                     needs_mask,
                     lambda s, gi=gi: jnp.where(build_mask(gi), s, MASK_VALUE),
@@ -219,10 +226,12 @@ def _bwd_q_kernel(
 
         for gi in range(n_groups):
             grows = slice(gi * qg, (gi + 1) * qg)
-            # Group-level causal skip + per-group mask predicate — see
-            # flash_fwd (wide traversal blocks skip their above-diagonal
-            # groups; groups fully inside the band skip the mask work).
-            if is_causal:
+            # Causal handling — see flash_fwd: blockskip/dense apply the
+            # mask unconditionally (no lax.cond); "skip" predicates per
+            # group (measured slower — kept as a knob).
+            if dense or blockskip:
+                bwd_q_group(gi, grows, None, mask_always=True)
+            elif is_causal:
                 r0 = i * bq + gi * qg
                 r1 = r0 + qg - 1
                 glive = j * bkv <= r1 + offset
@@ -358,7 +367,10 @@ def _bwd_kv_kernel(
     offset = seq_len_kv - seq_len_q
     window = kd.sliding_window
     is_causal = kd.causal or window is not None
-    if is_causal:
+    # Causal modes — see flash_fwd.
+    dense = is_causal and kd.causal_mode == "dense"
+    blockskip = is_causal and kd.causal_mode == "blockskip"
+    if is_causal and not dense:
         block_live = j * bkv <= (i + 1) * bq - 1 + offset
         if window is not None:
             block_live &= (j + 1) * bkv - 1 >= i * bq + offset - (window - 1)
@@ -419,7 +431,7 @@ def _bwd_kv_kernel(
         p_dtype = kd.register_dtype(kd.p_register, k.dtype)
         ds_dtype = kd.register_dtype(kd.ds_register, k.dtype)
 
-        def kv_group(gi, grows, needs_mask):
+        def kv_group(gi, grows, needs_mask, mask_always=False):
             """One traversal group's (dV, dK) partials: tuple of nd dV
             blocks then nd dK blocks (flat, so it can be a lax.cond
             branch result for the causal group skip)."""
@@ -448,7 +460,9 @@ def _bwd_kv_kernel(
                 cap2 = kd.logit_soft_cap * LOG2E
                 s2, cap_grad = _soft_cap_fwd_grad(s2, cap2)
 
-            if needs_mask is not None:
+            if mask_always:
+                s2 = jnp.where(build_mask(gi), s2, MASK_VALUE)
+            elif needs_mask is not None:
                 s2 = jax.lax.cond(
                     needs_mask,
                     lambda s, gi=gi: jnp.where(build_mask(gi), s, MASK_VALUE),
@@ -509,9 +523,12 @@ def _bwd_kv_kernel(
 
         for gi in range(n_groups):
             grows = slice(gi * qg, (gi + 1) * qg)
-            # Group-level causal skip (see flash_fwd): dead groups return
-            # zero partials through the cond's other branch — no matmuls.
-            if is_causal:
+            # Causal handling — see flash_fwd: blockskip/dense mask every
+            # group unconditionally (the lax.cond-with-zero-branch group
+            # skip measured slower than not skipping).
+            if dense or blockskip:
+                parts = kv_group(gi, grows, None, mask_always=True)
+            elif is_causal:
                 r0 = i * bq + gi * qg
                 r1 = r0 + qg - 1
                 glive = j * bkv <= r1 + offset

@@ -83,7 +83,18 @@ def _fwd_kernel(
     offset = seq_len_kv - seq_len_q
     window = kd.sliding_window
     is_causal = kd.causal or window is not None
-    if is_causal:
+    # "dense" causal mode: no predication anywhere — every block computes
+    # and the band mask applies unconditionally (masked columns contribute
+    # exp2(-big) = 0, so the result is identical; with the kv index-map
+    # clamp the dead blocks re-read an already-resident block, so they cost
+    # MXU only, not HBM). Exists because predication measurably breaks
+    # Mosaic's pipelining (round-3 A/B: the "skip" build ran 1.3x SLOWER
+    # than non-causal full compute at equal blocks).
+    # "blockskip": block-level pl.when skip + unconditional in-block masks
+    # (no lax.cond) — the middle point of the predication-cost spectrum.
+    dense = is_causal and kd.causal_mode == "dense"
+    blockskip = is_causal and kd.causal_mode == "blockskip"
+    if is_causal and not dense:
         block_live = j * bkv <= (i + 1) * bq - 1 + offset
         if window is not None:
             block_live &= (j + 1) * bkv - 1 >= i * bq + offset - (window - 1)
@@ -173,7 +184,7 @@ def _fwd_kernel(
         # q-row group is a fully data-independent MXU→VPU→MXU chain the
         # scheduler may interleave. Default block_q_inner=256 (measured best,
         # scripts/ab_subtile.py); block_q_inner in {0, bq} = single group.
-        def fwd_group(gi, grows, needs_mask):
+        def fwd_group(gi, grows, needs_mask, mask_always=False):
             m_run = m_scr[grows]                             # (qg, 1)
             l_run = l_scr[grows]
 
@@ -207,9 +218,13 @@ def _fwd_kernel(
                     s = cap2 * jnp.tanh(s / cap2)
 
                 # --- masking (edge + causal), large-finite sentinel.
-                # Scalar-predicated per GROUP: only groups a band/edge can
-                # bite pay the VPU mask work. ---
-                if needs_mask is not None:
+                # "dense": unconditional select (no lax.cond — the cond
+                # materializes S into branch buffers). "skip": scalar-
+                # predicated per GROUP so only groups a band/edge can bite
+                # pay the VPU mask work. ---
+                if mask_always:
+                    s = jnp.where(build_mask(ti, gi), s, MASK_VALUE)
+                elif needs_mask is not None:
                     s = jax.lax.cond(
                         needs_mask,
                         lambda s, ti=ti, gi=gi: jnp.where(
@@ -257,7 +272,9 @@ def _fwd_kernel(
             # EVERY block, measured 0.19 util in the round-3 causal bench).
             # The mask predicate is likewise per group: a group fully below
             # the band skips the VPU mask work its block would have paid.
-            if is_causal:
+            if dense or blockskip:
+                fwd_group(gi, grows, None, mask_always=True)
+            elif is_causal:
                 r0 = i * bq + gi * qg
                 r1 = r0 + qg - 1
                 glive = j * bkv <= r1 + offset

@@ -110,8 +110,9 @@ class AttentionDescriptor:
         problem (reference: AttentionDescriptor.swift:33-130, incl. the
         head-block clamp to padded D at :48-53)."""
         gen = generation or params_mod.detect_generation()
+        is_causal = self.causal or self.sliding_window is not None
         rows = params_mod.parameter_table(
-            kernel_type.value, self.low_precision_inputs
+            kernel_type.value, self.low_precision_inputs, causal=is_causal
         )
         row = params_mod.select_row(rows, self.head_dim)
 
@@ -145,6 +146,10 @@ class AttentionDescriptor:
             ds_register=policy.reg(AttentionOperand.dS),
             vmem_resident=row.vmem_resident,
             generation=gen.name,
+            # Causal prefers a single row group: the blockskip masks run
+            # per group, and 1024/1024 qg=0 measured 0.533 vs 0.486 at
+            # qg=256 (round-3 fwd A/B on v5e).
+            block_q_inner=0 if is_causal else 256,
         )
 
 
@@ -187,6 +192,17 @@ class AttentionKernelDescriptor:
     # 1024 at block_kv=4096). MEASURED on v5e D=128: 0.81 → 0.856 util
     # (scripts/ab_subtile.py; 256 beat 128 and whole-block). 0 = off.
     block_q_inner: int = 256
+    # Causal strategy, measured on v5e D=128 (docs/MEASUREMENTS.md round 3):
+    # - "blockskip" (DEFAULT): block-level pl.when skip + unconditional
+    #   in-block masks — 0.533 util at 1024/1024.
+    # - "dense": no predication at all, mask everything — 0.379 (the dead
+    #   blocks' MXU work is the gap; masked columns contribute
+    #   exp2(-big)=0 so both are exact).
+    # - "skip": per-group pl.when + lax.cond-wrapped masks — 0.244: the
+    #   lax.cond materializes S into branch buffers and breaks Mosaic's
+    #   pipelining, costing MORE than the skipped compute saves. Kept as a
+    #   knob for future Mosaic versions.
+    causal_mode: str = "blockskip"
 
     @property
     def d_blocked(self) -> bool:

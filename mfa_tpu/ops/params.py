@@ -248,6 +248,38 @@ _BWD_KV_FP32 = """
   inf   |   128   |    128   |  128    |
 """
 
+# ---------------------------------------------------------------------------
+# Causal tables. Causal block selection differs from non-causal: the
+# block-level skip ("blockskip" causal mode, descriptors.py) needs traversal
+# granularity — at block_kv = N every block straddles the diagonal and
+# nothing skips. v5e D=128 fwd measured (round-3 A/B, /tmp sweeps →
+# MEASUREMENTS.md): 1024/1024 = 0.533 util vs 0.379 at the non-causal row's
+# 1024/4096. Rows not marked measured are seeds in the measured row's shape
+# class.
+
+_FWD_BF16_CAUSAL = """
+   64   |  1024   |   1024   |  128    | Q
+  128   |  1024   |   1024   |  128    | Q
+  256   |  1024   |   1024   |  256    | Q
+  inf   |   128   |    512   |  128    |
+"""
+
+_BWD_Q_BF16_CAUSAL = """
+   64   |  1024   |   1024   |  128    | Q
+  128   |  1024   |   1024   |  128    | Q
+  256   |  1024   |   1024   |  256    | Q
+  inf   |   128   |    128   |  128    |
+"""
+
+# bwd_kv: block_q is the TRAVERSAL block — causal skip granularity lives on
+# it, so unlike non-causal (whole-sequence traversal) it stays moderate.
+_BWD_KV_BF16_CAUSAL = """
+   64   |  1024   |   1024   |  128    | Q
+  128   |  1024   |   1024   |  128    | Q
+  256   |  1024   |    512   |  256    | Q
+  inf   |   128   |    128   |  128    |
+"""
+
 _TABLES = {
     ("forward", "bf16"): _FWD_BF16,
     ("forward", "fp32"): _FWD_FP32,
@@ -255,15 +287,22 @@ _TABLES = {
     ("backward_query", "fp32"): _BWD_Q_FP32,
     ("backward_key_value", "bf16"): _BWD_KV_BF16,
     ("backward_key_value", "fp32"): _BWD_KV_FP32,
+    ("forward", "bf16", "causal"): _FWD_BF16_CAUSAL,
+    ("backward_query", "bf16", "causal"): _BWD_Q_BF16_CAUSAL,
+    ("backward_key_value", "bf16", "causal"): _BWD_KV_BF16_CAUSAL,
 }
 
 _PARSED: dict = {}
 
 
-def parameter_table(kernel_type: str, low_precision: bool) -> list[ParameterRow]:
-    """Pick the table for (kernel type, precision class) — reference:
-    AttentionDescriptor+Parameters.swift:13-39."""
+def parameter_table(kernel_type: str, low_precision: bool,
+                    causal: bool = False) -> list[ParameterRow]:
+    """Pick the table for (kernel type, precision class, causality) —
+    reference: AttentionDescriptor+Parameters.swift:13-39 (the reference
+    has no causal axis; causal tables are this build's extension)."""
     key = (kernel_type, "bf16" if low_precision else "fp32")
+    if causal and (*key, "causal") in _TABLES:
+        key = (*key, "causal")
     if key not in _PARSED:
         _PARSED[key] = parse_table(_TABLES[key])
     return _PARSED[key]

@@ -87,3 +87,57 @@ def test_fwd_causal_short_query(rng):
     o = flash_attention(q, k, v, causal=True)
     want, _ = attention_reference(q, k, v, causal=True)
     assert_close(o, want, 2e-5, "O causal R<C")
+
+
+def test_causal_modes_equivalent(rng):
+    """skip / blockskip / dense causal modes are scheduling strategies, not
+    semantics: all three must produce identical attention (masked columns
+    contribute exp2(-big) = 0 in every mode). Round-3 measured blockskip
+    fastest; see descriptors.AttentionKernelDescriptor.causal_mode."""
+    import dataclasses
+
+    import numpy as np
+
+    from mfa_tpu.ops.descriptors import (
+        AttentionDescriptor,
+        AttentionKernelType,
+    )
+
+    q, k, v, _ = make_attention_inputs(rng, 1, 2, 2, 300, 520, 64,
+                                       dtype=jnp.bfloat16)
+    desc = AttentionDescriptor(
+        batch=1, num_q_heads=2, num_kv_heads=2, seq_len_q=300,
+        seq_len_kv=520, head_dim=64, causal=True,
+        low_precision_inputs=True)
+    kd = desc.kernel_descriptor(AttentionKernelType.FORWARD)
+    assert kd.causal_mode == "blockskip"        # measured default
+    assert kd.block_q_inner == 0                # causal prefers one group
+
+    from mfa_tpu.kernels import flash_fwd
+    from mfa_tpu.ops.descriptors import round_up
+
+    d_pad = 128
+    bq, bkv = kd.block_q, kd.block_kv
+    r_pad = -(-300 // bq) * bq
+    c_pad = -(-520 // bkv) * bkv
+
+    def pad(x, s):
+        return jnp.pad(x.reshape(2, x.shape[2], 64),
+                       ((0, 0), (0, s - x.shape[2]), (0, d_pad - 64)))
+
+    outs = {}
+    for mode in ("skip", "blockskip", "dense"):
+        kdx = dataclasses.replace(kd, causal_mode=mode)
+        fn = flash_fwd.build_fwd(
+            kdx, batch_heads=2, kv_batch_heads=2, seq_len_q=300,
+            seq_len_kv=520, d_pad=d_pad, scale=desc.softmax_scale,
+            q_dtype=jnp.bfloat16, kv_dtype=jnp.bfloat16,
+            o_dtype=jnp.bfloat16, interpret=True)
+        o, _ = fn(pad(q, r_pad), pad(k, c_pad), pad(v, c_pad))
+        outs[mode] = o[:, :300, :64]
+
+    want, _ = attention_reference(q, k, v, causal=True)
+    for mode, o in outs.items():
+        assert_close(o[None], want, 5e-2, f"causal mode {mode}")
+    np.testing.assert_array_equal(np.asarray(outs["skip"], np.float32),
+                                  np.asarray(outs["blockskip"], np.float32))
