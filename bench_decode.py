@@ -80,24 +80,31 @@ def main():
                                         length=n)
         return tok, caches
 
-    loop = jax.jit(many_steps, static_argnums=3)
+    # Donate the caches: without donation the loop's output caches are a
+    # SECOND full-size allocation (4.4 GB at 8B), which pushes total HBM
+    # past 16 GB and makes XLA spill through the host tunnel — the round-3
+    # 6-tok/s post-mortem (L=4 fits and ran at 0.4 util; L=32 didn't fit
+    # and ran 100x slower).
+    loop = jax.jit(many_steps, static_argnums=3, donate_argnums=(2,))
 
     def sync(x):
         np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
 
     t0 = time.time()
-    out = loop(params, tokens, caches, 4)
-    sync(out)
+    tok_out, caches = loop(params, tokens, caches, 4)
+    sync((tok_out, caches))
     print(f"# compile {time.time()-t0:.0f}s", file=sys.stderr)
 
     # Differential: n_small vs n_big decode steps, median of trials.
     slopes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        sync(loop(params, tokens, caches, 4))
+        tok_out, caches = loop(params, tokens, caches, 4)
+        sync((tok_out, caches))
         t_small = time.perf_counter() - t0
         t0 = time.perf_counter()
-        sync(loop(params, tokens, caches, args.steps))
+        tok_out, caches = loop(params, tokens, caches, args.steps)
+        sync((tok_out, caches))
         t_big = time.perf_counter() - t0
         slopes.append((t_big - t_small) / (args.steps - 4))
     slopes.sort()

@@ -21,10 +21,15 @@ from mfa_tpu.serving.kv_cache import KVCache
 
 
 def _choose_block_kv(max_len: int) -> int:
-    """Decode is bandwidth-bound; bigger KV blocks amortize per-block
-    overheads until VMEM pressure. 512 is the measured sweet spot for
-    [128, 2048) caches; clamp to the cache length."""
-    return min(512, round_up(max_len, 128))
+    """Decode is bandwidth-bound and the compute per KV block is tiny, so
+    per-grid-step overhead dominates unless each step moves a LOT of bytes:
+    round-3 profiling measured 0.031 of the KV-stream roofline at
+    block_kv=512 (320 grid steps x ~4 us overhead each for a 4-layer
+    cache). One whole-length block per (batch, kv-head) — fp8 K+V at 8K
+    context is ~2 MiB of VMEM — turns the kernel into a straight
+    double-buffered stream; cap at 8192 rows to bound VMEM for very long
+    contexts."""
+    return min(round_up(max_len, 128), 8192)
 
 
 def decode_attention(

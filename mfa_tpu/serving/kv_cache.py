@@ -68,6 +68,12 @@ def create(
     precision: OperandPrecision = OperandPrecision.BF16,
 ) -> KVCache:
     d_pad = round_up(head_dim, 128)
+    # Capacity rounds up to a 128-row multiple so the decode kernel's
+    # whole-cache block never needs a pad copy at dispatch (round-3
+    # post-mortem: an unaligned 2112-row cache forced a full K/V pad copy
+    # per decode call per layer — ~500 us of pure HBM copies at 8B shapes,
+    # 5x the kernel itself).
+    max_len = round_up(max_len, 128)
     if precision is OperandPrecision.INT8:
         dtype = jnp.int8
     elif precision in (OperandPrecision.FP8_E4M3, OperandPrecision.FP8_E5M2):

@@ -63,21 +63,24 @@ def main():
               f"{sol*1e3:7.3f} ms | util {sol/res.latency_s:6.3f}",
               flush=True)
 
-    # --- 1. full decode step ---
+    # --- 1. full decode step (params ride the carry: closing over them
+    # captures GBs as jit constants and chokes the tunnel compile) ---
     def full_step(carry):
-        tok, caches = carry
+        params, tok, caches = carry
         logits, caches = llama.decode_step(params, cfg, tok, caches,
                                            interpret=False)
-        return (jnp.argmax(logits, -1).astype(jnp.int32), caches)
+        return (params, jnp.argmax(logits, -1).astype(jnp.int32), caches)
 
-    res = measure_chained(full_step, (tokens, caches), 1, 0, generation=gen)
+    res = measure_chained(full_step, (params, tokens, caches), 1, 0,
+                          generation=gen)
     report("full decode step", res, w_bytes + kv_bytes)
 
     # --- 2. dense-side only (projections + MLP + head; no attn/cache) ---
     x0 = jnp.asarray(rng.standard_normal((args.batch, 1, cfg.dim)),
                      jnp.bfloat16)
 
-    def dense_step(x):
+    def dense_step(carry):
+        params, x = carry
         for layer in params["layers"]:
             h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
             q, k, v = llama._project_qkv(layer, h, cfg, jnp.bfloat16)
@@ -85,48 +88,47 @@ def main():
             x = x + llama._matmul(o, layer["wo"], jnp.bfloat16)
             h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
             x = x + llama._mlp(layer, h, jnp.bfloat16)
-        return x
+        return (params, x)
 
-    res = measure_chained(dense_step, x0, 1, 0, generation=gen)
+    res = measure_chained(dense_step, (params, x0), 1, 0, generation=gen)
     report("projections+MLP only", res, w_bytes)
 
     # --- 3. decode attention only (all layers' caches) ---
-    from mfa_tpu.ops.attention import decode_attention
+    from mfa_tpu.ops.decode import decode_attention
 
     q0 = jnp.asarray(rng.standard_normal(
         (args.batch, cfg.n_heads, cfg.head_dim)), jnp.bfloat16)
 
-    def attn_step(q):
-        o = q
-        for c in caches:
+    def attn_step(carry):
+        caches_, o = carry
+        for c in caches_:
             o = decode_attention(o, c, interpret=False)
-        return o.astype(jnp.bfloat16)
+        return (caches_, o.astype(jnp.bfloat16))
 
-    res = measure_chained(attn_step, q0, 1, 0, generation=gen)
+    res = measure_chained(attn_step, (caches, q0), 1, 0, generation=gen)
     report("decode attention only", res, kv_bytes)
 
     # --- 4. cache update only (quantize + append 1 token, all layers) ---
     k1 = jnp.asarray(rng.standard_normal(
         (args.batch, cfg.n_kv_heads, 1, cfg.head_dim)), jnp.bfloat16)
 
-    def upd_step(k):
-        outs = []
-        for c in caches:
-            nc = kvm.update(c, k, k)
-            outs.append(nc.k[:, :, :1, :1])   # touch output, keep it small
-        return (k + jnp.stack(outs).sum().astype(jnp.bfloat16) * 0)
+    def upd_step(carry):
+        caches_, k = carry
+        new = [kvm.update(c, k, k) for c in caches_]
+        return (new, k)
 
-    res = measure_chained(upd_step, k1, 1, 0, generation=gen)
+    res = measure_chained(upd_step, (caches, k1), 1, 0, generation=gen)
     report("cache update only", res, kv_bytes * 0 + 2 * args.layers
            * args.batch * cfg.n_kv_heads * 128)
 
     # --- 5. lm head + embed only ---
-    def head_step(x):
+    def head_step(carry):
+        params, x = carry
         logits = llama._matmul(x[:, 0], params["lm_head"], jnp.bfloat16)
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
-        return params["embed"][tok][:, None, :]
+        return (params, params["embed"][tok][:, None, :])
 
-    res = measure_chained(head_step, x0, 1, 0, generation=gen)
+    res = measure_chained(head_step, (params, x0), 1, 0, generation=gen)
     report("lm_head+embed only", res,
            np.asarray(params["lm_head"]).nbytes
            + np.asarray(params["embed"]).nbytes)
