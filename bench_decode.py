@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--wbits", type=int, default=8, choices=[8, 4],
                     help="weight-only quantization width (8 = headline; "
                          "4 = BASELINE config 5, INT4 weights + FP8 KV)")
+    ap.add_argument("--kv", default="fp8", choices=["fp8", "int8", "bf16"],
+                    help="KV-cache storage (fp8 = headline metric; int8 = "
+                         "the v5e fast path — native s8 MXU, no VPU "
+                         "dequant; see MEASUREMENTS.md round 3)")
     args = ap.parse_args()
 
     from mfa_tpu.models import llama
@@ -48,8 +52,11 @@ def main():
     # at ~2x the bf16 model and OOMs one v5e chip at 8B scale.
     params = llama.init_params_quantized(jax.random.key(0), cfg, wprec,
                                          jnp.bfloat16)
+    kv_prec = {"fp8": OperandPrecision.FP8_E4M3,
+               "int8": OperandPrecision.INT8,
+               "bf16": OperandPrecision.BF16}[args.kv]
     caches = llama.make_caches(cfg, args.batch, args.ctx + args.steps + 8,
-                               OperandPrecision.FP8_E4M3)
+                               kv_prec)
     # Fill the context with random KV directly (prefill path measured
     # elsewhere; decode reads the cache regardless of how it was written).
     rng = np.random.default_rng(0)
@@ -112,8 +119,9 @@ def main():
     tok_s = args.batch / step_latency
 
     # Speed-of-light: decode streams all KV + all weights once per step.
+    kv_itemsize = 2 if args.kv == "bf16" else 1
     kv_bytes = (2 * args.layers * args.batch * cfg.n_kv_heads
-                * args.ctx * 128 * 1)       # fp8 KV (d_pad=128)
+                * args.ctx * 128 * kv_itemsize)   # KV stream (d_pad=128)
     w_bytes = sum(np.asarray(w).nbytes for w in
                   jax.tree_util.tree_leaves(params))
     sol = (kv_bytes + w_bytes) / (gen.hbm_gbps * 1e9)
@@ -121,7 +129,7 @@ def main():
           f"SoL(step) {sol*1e3:.2f} ms | util {sol/step_latency:.3f}",
           file=sys.stderr)
     rec = {
-        "metric": f"decode_tok_s_chip(8B-int{args.wbits}w-fp8kv,"
+        "metric": f"decode_tok_s_chip(8B-int{args.wbits}w-{args.kv}kv,"
                   f"B={args.batch},ctx={args.ctx},L={args.layers})",
         "value": round(tok_s, 1),
         "unit": "tokens/s",
@@ -131,7 +139,7 @@ def main():
     # Persist for bench.py to embed next to the fwd headline (full-config
     # runs only — smoke runs with reduced layers are not the headline;
     # the INT8-weight config is the headline metric).
-    if args.layers == 32 and args.wbits == 8:
+    if args.layers == 32 and args.wbits == 8 and args.kv == "fp8":
         import os
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "docs", "sweeps", "decode_headline.json")
