@@ -45,7 +45,8 @@ def main():
     wprec = (OperandPrecision.INT8 if args.wbits == 8
              else OperandPrecision.INT4)
     print(f"# {args.layers} layers, batch {args.batch}, ctx {args.ctx}, "
-          f"INT{args.wbits} weights + FP8 KV on {gen.name}", file=sys.stderr)
+          f"INT{args.wbits} weights + {args.kv.upper()} KV on {gen.name}",
+          file=sys.stderr)
 
     t0 = time.time()
     # Fused init+quantize: the two-step init_params -> quantize_params peaks

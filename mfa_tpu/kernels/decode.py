@@ -94,12 +94,18 @@ def _decode_kernel_single(
             preferred_element_type=jnp.int32)
         s = s32.astype(jnp.float32) * qscale * ks_ref[0].reshape(1, L)
     else:
-        kk = k
-        if quantized:
-            kk = (k.astype(jnp.float32) * ks_ref[0]).astype(compute_dtype)
+        # FP8 (or BF16-stored) cache: per-token K scales factor out of the
+        # QK^T contraction exactly — S[g,l] = ks[l]·Σ_d q[g,d]·k_raw[l,d] —
+        # so the VPU does ONE convert per element (fp8→bf16, unavoidable on
+        # v5e) plus an O(G·L) scale epilogue, not the 3-op O(L·D) dequant
+        # (convert + scale-mul + downcast) that capped FP8 decode at 0.29
+        # SoL in round 3 (docs/MEASUREMENTS.md).
+        kk = k.astype(compute_dtype) if quantized else k
         s = jax.lax.dot_general(
             q, kk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if quantized:
+            s = s * ks_ref[0].reshape(1, L)
 
     s = jnp.where(live, s, MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -117,9 +123,12 @@ def _decode_kernel_single(
             preferred_element_type=jnp.int32)
         o = o32.astype(jnp.float32) * pscale / l
     else:
-        vv = v
+        # Same factoring on the PV side: O[g,d] = Σ_l (p[g,l]·vs[l])·
+        # v_raw[l,d], so the per-token V scale folds into P (O(G·L))
+        # before the contraction and V needs only the raw convert.
         if quantized:
-            vv = (v.astype(jnp.float32) * vs_ref[0]).astype(compute_dtype)
+            p = p * vs_ref[0].reshape(1, L)
+        vv = v.astype(compute_dtype) if quantized else v
         o = jax.lax.dot_general(
             p.astype(compute_dtype), vv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) / l
@@ -160,13 +169,18 @@ def _decode_kernel(
     def _body():
         q = q_ref[0]                                   # (group, d), prescaled
         k = k_ref[0]                                   # (bkv, d) storage dtype
+        # Per-token scales factor out of the contraction (see
+        # _decode_kernel_single): raw convert on the VPU, scale as an
+        # O(group, bkv) epilogue on S instead of an O(bkv, d) dequant.
         if quantized:
-            k = (k.astype(jnp.float32) * ks_ref[0]).astype(compute_dtype)
+            k = k.astype(compute_dtype)
         s = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                              # (group, bkv)
+        if quantized:
+            s = s * ks_ref[0].reshape(1, s.shape[1])
 
         # Unconditional length/window mask: the S tile is only
         # (group, block_kv) — a lax.cond here costs more than the select
@@ -188,7 +202,10 @@ def _decode_kernel(
 
         v = v_ref[0]
         if quantized:
-            v = (v.astype(jnp.float32) * vs_ref[0]).astype(compute_dtype)
+            # Fold the per-token V scale into P (O(group, bkv)); the
+            # accumulator then carries the fully-scaled partial O.
+            p = p * vs_ref[0].reshape(1, p.shape[1])
+            v = v.astype(compute_dtype)
         pv = jax.lax.dot_general(
             p.astype(compute_dtype), v,
             dimension_numbers=(((1,), (0,)), ((), ())),

@@ -80,6 +80,15 @@ class TwoLevelCache:
             self._pipeline.clear()
             self.stats = CacheStats()
 
+    def evict_if(self, predicate):
+        """Drop pipeline AND library entries whose key satisfies
+        ``predicate`` (used by the dispatch autotune to evict losing
+        candidates' pipelines after a search)."""
+        with self._lock:
+            for d in (self._pipeline, self._library):
+                for key in [k for k in d if predicate(k)]:
+                    del d[key]
+
     def __len__(self):
         return len(self._pipeline)
 

@@ -20,16 +20,21 @@ from mfa_tpu.ops.descriptors import round_up
 from mfa_tpu.serving.kv_cache import KVCache
 
 
-def _choose_block_kv(max_len: int) -> int:
+def _choose_block_kv(max_len: int, d_pad: int = 128,
+                     kv_itemsize: int = 1) -> int:
     """Decode is bandwidth-bound and the compute per KV block is tiny, so
     per-grid-step overhead dominates unless each step moves a LOT of bytes:
     round-3 profiling measured 0.031 of the KV-stream roofline at
     block_kv=512 (320 grid steps x ~4 us overhead each for a 4-layer
     cache). One whole-length block per (batch, kv-head) — fp8 K+V at 8K
     context is ~2 MiB of VMEM — turns the kernel into a straight
-    double-buffered stream; cap at 8192 rows to bound VMEM for very long
-    contexts."""
-    return min(round_up(max_len, 128), 8192)
+    double-buffered stream. The cap is in BYTES, not rows (a row cap sized
+    for 1-byte KV would let a BF16 cache at d_pad=256 allocate ~4 MiB K and
+    V blocks each before pipelining buffers — past scoped VMEM on v5e):
+    K + V blocks together stay under ~2 MiB per pipeline buffer."""
+    row_bytes = 2 * d_pad * kv_itemsize          # one K row + one V row
+    cap_rows = max((2 * 1024 * 1024) // row_bytes // 128 * 128, 128)
+    return min(round_up(max_len, 128), cap_rows)
 
 
 def decode_attention(
@@ -65,7 +70,8 @@ def decode_attention(
         qs = jnp.pad(qs, ((0, 0), (0, 0), (0, d_pad - d)))
     q3 = qs.reshape(b, hkv, group, d_pad).reshape(b * hkv, group, d_pad)
 
-    block_kv = _choose_block_kv(max_len)
+    block_kv = _choose_block_kv(max_len, d_pad,
+                                jnp.dtype(cache.k.dtype).itemsize)
     key = ("decode", b, hkv, group, max_len, d_pad, block_kv,
            str(cache.k.dtype), str(q.dtype), cache.quantized,
            sliding_window, interpret)

@@ -112,7 +112,8 @@ class AttentionDescriptor:
         gen = generation or params_mod.detect_generation()
         is_causal = self.causal or self.sliding_window is not None
         rows = params_mod.parameter_table(
-            kernel_type.value, self.low_precision_inputs, causal=is_causal
+            kernel_type.value, self.low_precision_inputs, causal=is_causal,
+            generation=gen.name,
         )
         row = params_mod.select_row(rows, self.head_dim)
 

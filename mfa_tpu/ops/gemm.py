@@ -34,6 +34,7 @@ from mfa_tpu.ops.precision import OperandPrecision
 
 _autotune_enabled: bool | None = None     # None → read MFA_AUTOTUNE env
 _tuned_blocks: dict = {}                  # shape-class key → (bm, bn, bk)
+_tuned_inflight: dict = {}                # shape-class key → threading.Event
 _tuned_lock = threading.Lock()
 
 
@@ -185,30 +186,93 @@ def _autotuned_kd(kd, desc, a, b, c0, out_dtype, measure=None):
     cls_key = (desc.m, desc.n, desc.k, desc.batch, str(a.dtype),
                str(b.dtype), str(out_dtype), desc.transpose_a,
                desc.transpose_b, desc.load_previous_c)
-    with _tuned_lock:
-        hit = _tuned_blocks.get(cls_key)
-    if hit is None:
-        if measure is None and isinstance(a, jax.core.Tracer):
-            # Inside a jit trace there is nothing to time — use the
-            # heuristic without memoizing; the first concrete (eager)
-            # dispatch of this shape class will run the search.
+    if measure is None and isinstance(a, jax.core.Tracer):
+        # Inside a jit trace there is nothing to time — use the memoized
+        # winner if one exists, else the heuristic without memoizing; the
+        # first concrete (eager) dispatch of this class runs the search.
+        with _tuned_lock:
+            hit = _tuned_blocks.get(cls_key)
+        if hit is None:
             return kd
+        return dataclasses.replace(
+            kd, block_m=hit[0], block_n=hit[1], block_k=hit[2])
+
+    # Per-class in-flight guard: without it, two threads racing on the same
+    # cold class each run the full on-device search (8 timed dispatches x
+    # ~6 candidates) and may memoize different winners depending on
+    # setdefault order. The loser waits on the winner's event instead.
+    while True:
+        with _tuned_lock:
+            hit = _tuned_blocks.get(cls_key)
+            if hit is not None:
+                break
+            event = _tuned_inflight.get(cls_key)
+            if event is None:
+                event = _tuned_inflight[cls_key] = threading.Event()
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            event.wait()
+            continue
         measure = measure or (
             lambda cand_kd: _measure_dispatch(
                 lambda: _dispatch(cand_kd, a, b, c0, out_dtype, False)))
         best, best_t = (kd.block_m, kd.block_n, kd.block_k), None
-        for bm, bn, bk in _autotune_candidates(kd, desc.m, desc.n, desc.k):
-            cand = dataclasses.replace(kd, block_m=bm, block_n=bn, block_k=bk)
-            try:
-                t = measure(cand)
-            except Exception:  # noqa: BLE001 — candidate may not compile
-                continue
-            if best_t is None or t < best_t:
-                best, best_t = (bm, bn, bk), t
-        with _tuned_lock:
-            hit = _tuned_blocks.setdefault(cls_key, best)
+        try:
+            for bm, bn, bk in _autotune_candidates(kd, desc.m, desc.n,
+                                                   desc.k):
+                cand = dataclasses.replace(
+                    kd, block_m=bm, block_n=bn, block_k=bk)
+                try:
+                    t = measure(cand)
+                except Exception:  # noqa: BLE001 — may not compile
+                    continue
+                if best_t is None or t < best_t:
+                    best, best_t = (bm, bn, bk), t
+                # Evict losing candidates' pipelines: only the winner's
+                # stays warm (the reference's autotune also discards the
+                # losing PSO variants).
+            with _tuned_lock:
+                hit = _tuned_blocks.setdefault(cls_key, best)
+            _evict_losers(cls_key, desc, a, b, out_dtype, best)
+        finally:
+            with _tuned_lock:
+                _tuned_inflight.pop(cls_key, None)
+            event.set()
+        break
     return dataclasses.replace(
         kd, block_m=hit[0], block_n=hit[1], block_k=hit[2])
+
+
+def _evict_losers(cls_key, desc, a, b, out_dtype, best):
+    """Drop the candidate search's losing pipelines from gemm_cache (they
+    would otherwise stay resident forever; only the winner is ever
+    dispatched again)."""
+    try:
+        from mfa_tpu.ops.cache import gemm_cache as _gc
+        keep_blocks = set([best])
+        _gc.evict_if(lambda key: (
+            isinstance(key, tuple) and key and hasattr(key[0], "block_m")
+            and (key[0].block_m, key[0].block_n, key[0].block_k)
+            not in keep_blocks
+            and _key_matches_class(key, desc, a, b, out_dtype)))
+    except Exception:  # noqa: BLE001 — eviction is best-effort
+        pass
+
+
+def _key_matches_class(key, desc, a, b, out_dtype):
+    # _dispatch cache keys: (kd, batch, m_pad, n_pad, k_pad, a_dt, b_dt,
+    # c_dt, interpret) — match on the problem class, ignoring block-derived
+    # padding.
+    try:
+        kd = key[0]
+        return (key[1] == a.shape[0] and key[5] == str(a.dtype)
+                and key[6] == str(b.dtype) and key[7] == str(out_dtype)
+                and kd.transpose_a == desc.transpose_a
+                and kd.transpose_b == desc.transpose_b)
+    except Exception:  # noqa: BLE001
+        return False
 
 
 def _pad_operand(x, target_hw):

@@ -62,6 +62,19 @@ def load():
     except OSError:
         return None
 
+    try:
+        _bind(lib)
+    except AttributeError:
+        # A stale prebuilt libmfa missing a newer symbol must degrade to
+        # "native runtime unavailable" (the documented contract), not leak
+        # an AttributeError to every native-runtime caller. A rebuild
+        # (make -C runtime) picks the new symbols up.
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib):
     lib.mfa_parse_table.restype = ctypes.c_int
     lib.mfa_parse_table.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(MfaRow), ctypes.c_int,
@@ -98,8 +111,6 @@ def load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_longlong,
     ]
-    _lib = lib
-    return _lib
 
 
 def parse_table(text: str):

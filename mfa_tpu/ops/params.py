@@ -292,20 +292,79 @@ _TABLES = {
     ("backward_key_value", "bf16", "causal"): _BWD_KV_BF16_CAUSAL,
 }
 
+# ---------------------------------------------------------------------------
+# Generation axis. The reference keys its tables per architecture (M1/M2 vs
+# M3+, AttentionDescriptor+Parameters.swift:13-39); here the base tables are
+# the v5e-measured rows (16 MiB scoped VMEM) and per-generation overlays
+# adjust rows whose v5e choice was a VMEM-budget compromise. v6e doubles
+# scoped VMEM to 32 MiB, which un-compromises exactly the rows the round-3
+# sweeps found VMEM-capped:
+# - bwd_kv D=256: the sweep's BEST config 4096/512/256 (0.946 util) overflows
+#   16 MiB by ~512 KiB in the composed train-step VJP (the shipped v5e row is
+#   the runner-up 2048/512/256 = 0.927); 32 MiB fits it with room.
+# - fwd D=256: the fp32 accumulator slab (block_q x 256 x 4 B) capped
+#   block_q at 256 on v5e; 32 MiB admits 512 rows (fewer grid steps, same
+#   whole-sequence traversal).
+# - bwd_q D=256: the streamed-KV double buffer capped the traversal block at
+#   1024; 32 MiB admits 2048 (matches the D=128 shape class the sweep
+#   preferred everywhere it fit).
+# v6e rows are VMEM-budget seeds (validated by test_params.py against the
+# 32 MiB budget), to be re-measured by utils/autotune.py when a v6e chip is
+# available. v4/v5p share v5e's 16 MiB scoped VMEM and fall through to the
+# base tables.
+
+_FWD_BF16_V6E = """
+   64   |   512   |   4096   |  128    | Q
+  128   |  1024   |   4096   |  128    | Q
+  256   |   512   |   4096   |  256    | Q
+  384   |   256   |   2048   |  128    |
+  inf   |   128   |    512   |  128    |
+"""
+
+_BWD_Q_BF16_V6E = """
+   64   |  1024   |   2048   |  128    | Q
+  128   |  1024   |   2048   |  128    | Q
+  256   |  1024   |   2048   |  256    | Q
+  inf   |   128   |    128   |  128    |
+"""
+
+_BWD_KV_BF16_V6E = """
+   64   |  4096   |   1024   |  128    | Q
+  128   |  4096   |   1024   |  128    | Q
+  256   |  4096   |    512   |  256    | Q
+  inf   |   128   |    128   |  128    |
+"""
+
+_TABLES_BY_GEN = {
+    "v6e": {
+        ("forward", "bf16"): _FWD_BF16_V6E,
+        ("backward_query", "bf16"): _BWD_Q_BF16_V6E,
+        ("backward_key_value", "bf16"): _BWD_KV_BF16_V6E,
+    },
+}
+
 _PARSED: dict = {}
 
 
 def parameter_table(kernel_type: str, low_precision: bool,
-                    causal: bool = False) -> list[ParameterRow]:
-    """Pick the table for (kernel type, precision class, causality) —
-    reference: AttentionDescriptor+Parameters.swift:13-39 (the reference
-    has no causal axis; causal tables are this build's extension)."""
+                    causal: bool = False,
+                    generation: str | None = None) -> list[ParameterRow]:
+    """Pick the table for (kernel type, precision class, causality,
+    generation) — reference: AttentionDescriptor+Parameters.swift:13-39
+    keys per architecture; the causal axis is this build's extension.
+    Generation overlays fall through to the v5e-measured base tables for
+    (kernel, precision) pairs they don't override."""
+    if generation is None:
+        generation = detect_generation().name
     key = (kernel_type, "bf16" if low_precision else "fp32")
     if causal and (*key, "causal") in _TABLES:
         key = (*key, "causal")
-    if key not in _PARSED:
-        _PARSED[key] = parse_table(_TABLES[key])
-    return _PARSED[key]
+    overlay = _TABLES_BY_GEN.get(generation, {})
+    text = overlay.get(key) or _TABLES[key]
+    cache_key = (generation if text is overlay.get(key) else "base", *key)
+    if cache_key not in _PARSED:
+        _PARSED[cache_key] = parse_table(text)
+    return _PARSED[cache_key]
 
 
 def vmem_bytes_estimate(

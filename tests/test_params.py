@@ -56,7 +56,8 @@ def test_vmem_budget(gen_name):
     for ktype in ("forward", "backward_query", "backward_key_value"):
         for low in (False, True):
             in_bytes = 2 if low else 4
-            for row in params.parameter_table(ktype, low):
+            for row in params.parameter_table(ktype, low,
+                                              generation=gen_name):
                 d = row.max_d or 512
                 est = params.vmem_bytes_estimate(row, d, in_bytes, ktype)
                 assert est < gen.vmem_bytes, (
@@ -131,3 +132,39 @@ def test_two_level_cache():
     assert built == {"kernel": 1, "pipe": 2}
     assert cache.stats.library_hits == 1
     assert cache.stats.pipeline_hits == 1
+
+
+def test_generation_keyed_tables():
+    """The table axis the reference keys per architecture
+    (AttentionDescriptor+Parameters.swift:13-39): v6e (32 MiB VMEM) must
+    select different rows than v5e where the v5e row was a VMEM
+    compromise, and kernel_descriptor() must provably vary by generation."""
+    # bwd_kv D=256: v5e ships the VMEM-capped runner-up (2048 traversal);
+    # v6e ships the sweep's best (4096).
+    v5e = params.select_row(
+        params.parameter_table("backward_key_value", True,
+                               generation="v5e"), 256)
+    v6e = params.select_row(
+        params.parameter_table("backward_key_value", True,
+                               generation="v6e"), 256)
+    assert v5e.block_q == 2048 and v6e.block_q == 4096
+
+    # Unknown generations fall through to the measured base tables.
+    v4 = params.select_row(
+        params.parameter_table("backward_key_value", True,
+                               generation="v4"), 256)
+    assert v4 == v5e
+
+    # End-to-end: kernel_descriptor varies by generation.
+    from mfa_tpu.ops.descriptors import (AttentionDescriptor,
+                                         AttentionKernelType)
+    desc = AttentionDescriptor(
+        batch=1, num_q_heads=8, num_kv_heads=8,
+        seq_len_q=4096, seq_len_kv=4096, head_dim=256,
+        low_precision_inputs=True)
+    kd5 = desc.kernel_descriptor(AttentionKernelType.BACKWARD_KEY_VALUE,
+                                 generation=params.GENERATIONS["v5e"])
+    kd6 = desc.kernel_descriptor(AttentionKernelType.BACKWARD_KEY_VALUE,
+                                 generation=params.GENERATIONS["v6e"])
+    assert kd5.block_q != kd6.block_q
+    assert kd6.generation == "v6e"
