@@ -255,9 +255,12 @@ def apply_rope(x, positions, inv_freq):
 def _project_qkv(layer, x, cfg, dtype):
     b, t, _ = x.shape
     hd = cfg.head_dim
-    q = _matmul(x, layer["wq"], dtype).reshape(b, t, cfg.n_heads, hd)
-    k = _matmul(x, layer["wk"], dtype).reshape(b, t, cfg.n_kv_heads, hd)
-    v = _matmul(x, layer["wv"], dtype).reshape(b, t, cfg.n_kv_heads, hd)
+    # Head counts come from the projection widths, not cfg: inside a
+    # tensor-parallel shard_map the layer holds the LOCAL head shard
+    # (n_heads / tp), and the reshape must follow the local width.
+    q = _matmul(x, layer["wq"], dtype).reshape(b, t, -1, hd)
+    k = _matmul(x, layer["wk"], dtype).reshape(b, t, -1, hd)
+    v = _matmul(x, layer["wv"], dtype).reshape(b, t, -1, hd)
     # [B, H, T, D]
     return (jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2))
 
@@ -275,11 +278,17 @@ def _mlp(layer, x, dtype):
 
 
 def _layer_apply(layer, x, positions, inv_freq, cfg: LlamaConfig, dtype,
-                 interpret=None, return_kv=False):
+                 interpret=None, return_kv=False, tp_axis=None):
     """One transformer block (attn + MLP, pre-norm residual), shape-
     preserving — the unit shared by the serial forward and the pipeline
     stage function. ``return_kv`` also yields the roped K and raw V (for
-    prefill cache appends)."""
+    prefill cache appends).
+
+    ``tp_axis``: when running inside shard_map over a tensor-parallel mesh
+    axis (parallel/sharding.py's Megatron mapping — wq/wk/wv column-
+    parallel, wo/w_down row-parallel), name that axis here and the two
+    row-parallel partial sums are all-reduced over it; activations stay
+    replicated across tp (the collectives ride ICI, SURVEY.md §2.4)."""
     b, t, _ = x.shape
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
     q, k, v = _project_qkv(layer, h, cfg, dtype)
@@ -288,22 +297,46 @@ def _layer_apply(layer, x, positions, inv_freq, cfg: LlamaConfig, dtype,
     o = flash_attention(q, k, v, causal=True,
                         sliding_window=cfg.sliding_window,
                         interpret=interpret)
-    o = jnp.swapaxes(o, 1, 2).reshape(b, t, cfg.n_heads * cfg.head_dim)
-    x = x + _matmul(o, layer["wo"], dtype)
+    o = jnp.swapaxes(o, 1, 2).reshape(b, t, -1)
+    att = _matmul(o, layer["wo"], dtype)
+    if tp_axis is not None:
+        att = jax.lax.psum(att, tp_axis)
+    x = x + att
     h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-    x = x + _mlp(layer, h, dtype)
+    mlp = _mlp(layer, h, dtype)
+    if tp_axis is not None:
+        mlp = jax.lax.psum(mlp, tp_axis)
+    x = x + mlp
     if return_kv:
         return x, (k, v)
     return x
 
 
+def _lm_head(params, cfg: LlamaConfig, x, dtype, tp_axis=None):
+    """Final norm + logits. With ``tp_axis``, lm_head is column-parallel
+    (parallel/sharding.py) and the vocab shards all-gather over tp."""
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        # Tied embeddings are replicated — full logits, no gather.
+        return jnp.dot(x, params["embed"].T,
+                       preferred_element_type=jnp.float32)
+    logits = _matmul(x, head, dtype).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    return logits
+
+
 def forward(params, cfg: LlamaConfig, tokens, *, positions=None,
-            caches=None, interpret=None):
+            caches=None, interpret=None, tp_axis=None):
     """Full forward over [B, T] tokens → logits [B, T, vocab].
 
     With ``caches`` (list of KVCache per layer): prefill mode — each
     layer's K/V are appended to its cache and attention still runs causal
     over the full prefix; returns (logits, new_caches).
+
+    ``tp_axis``: tensor-parallel axis name when called inside shard_map
+    over a mesh (see _layer_apply; serving/distributed.py drives this).
     """
     dtype = params["embed"].dtype
     b, t = tokens.shape
@@ -320,28 +353,27 @@ def forward(params, cfg: LlamaConfig, tokens, *, positions=None,
         if caches is not None:
             x, (k, v) = _layer_apply(layer, x, positions, inv_freq, cfg,
                                      dtype, interpret=interpret,
-                                     return_kv=True)
+                                     return_kv=True, tp_axis=tp_axis)
             new_caches.append(kv_cache_mod.update(caches[li], k, v))
         else:
             x = _layer_apply(layer, x, positions, inv_freq, cfg, dtype,
-                             interpret=interpret)
+                             interpret=interpret, tp_axis=tp_axis)
 
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    head = params.get("lm_head")
-    if head is None:
-        logits = jnp.dot(x, params["embed"].T,
-                         preferred_element_type=jnp.float32)
-    else:
-        logits = _matmul(x, head, dtype).astype(jnp.float32)
+    logits = _lm_head(params, cfg, x, dtype, tp_axis)
     if new_caches is not None:
         return logits, new_caches
     return logits
 
 
-def decode_step(params, cfg: LlamaConfig, tokens, caches, *, interpret=None):
+def decode_step(params, cfg: LlamaConfig, tokens, caches, *, interpret=None,
+                tp_axis=None):
     """One decode step: tokens [B] (the latest token per sequence) →
     (logits [B, vocab], updated caches). Uses the fused-dequant decode
-    kernel against each layer's KV cache."""
+    kernel against each layer's KV cache.
+
+    ``tp_axis``: tensor-parallel axis name when running inside shard_map —
+    projections/caches hold the local head shard and the row-parallel
+    matmuls all-reduce over the axis (serving/distributed.py)."""
     dtype = params["embed"].dtype
     b = tokens.shape[0]
     positions = caches[0].lengths[:, None]                  # [B, 1]
@@ -359,17 +391,17 @@ def decode_step(params, cfg: LlamaConfig, tokens, caches, *, interpret=None):
         o = decode_attention(q[:, :, 0, :], cache,
                              sliding_window=cfg.sliding_window,
                              interpret=interpret)
-        x = x + _matmul(o.reshape(b, 1, -1), layer["wo"], dtype)
+        att = _matmul(o.reshape(b, 1, -1), layer["wo"], dtype)
+        if tp_axis is not None:
+            att = jax.lax.psum(att, tp_axis)
+        x = x + att
         h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        x = x + _mlp(layer, h, dtype)
+        mlp = _mlp(layer, h, dtype)
+        if tp_axis is not None:
+            mlp = jax.lax.psum(mlp, tp_axis)
+        x = x + mlp
 
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    head = params.get("lm_head")
-    if head is None:
-        logits = jnp.dot(x[:, 0], params["embed"].T,
-                         preferred_element_type=jnp.float32)
-    else:
-        logits = _matmul(x[:, 0], head, dtype).astype(jnp.float32)
+    logits = _lm_head(params, cfg, x[:, 0], dtype, tp_axis)
     return logits, new_caches
 
 

@@ -155,11 +155,9 @@ class ContinuousBatchingScheduler:
             last_logits, caches1 = self._prefill_fn(bucket)(
                 self.params, jnp.asarray(tokens), t)
             # Splice the single-sequence cache into the slot, trimming the
-            # appended length to the true prompt length.
-            new_caches = []
-            for c, c1 in zip(self.caches, caches1):
-                new_caches.append(kv_mod.write_slot(c, slot, c1, t))
-            self.caches = new_caches
+            # appended length to the true prompt length (overridden by the
+            # mesh scheduler, serving/distributed.py).
+            self._splice(slot, caches1, t)
             tok = int(sample(last_logits[None, :],
                              self._next_key(),
                              temperature=self.temperature)[0])
@@ -169,6 +167,12 @@ class ContinuousBatchingScheduler:
             self.last_tokens[slot] = tok
             self.stats["prefills"] += 1
             self.stats["tokens"] += 1
+
+    def _splice(self, slot, caches1, true_len):
+        self.caches = [
+            kv_mod.write_slot(c, slot, c1, true_len)
+            for c, c1 in zip(self.caches, caches1)
+        ]
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
