@@ -57,24 +57,39 @@ def _soft_cap_fwd_grad(s, cap):
 
 
 def _bwd_q_kernel(
-    q_ref, k_ref, v_ref, o_ref, do_ref, l_ref,     # inputs
-    dq_ref, dterm_ref,                             # outputs
-    d_scr, acc_scr,                                # scratch
-    *,
+    *refs,
     kd: AttentionKernelDescriptor,
     scale: float,
     seq_len_q: int,
     seq_len_kv: int,
     num_kv_blocks: int,
+    tablegrid: bool = False,
 ):
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+    if tablegrid:
+        # Compressed live-pair grid (see flash_fwd.causal_pair_tables):
+        # grid = (bh, n_pairs); i/j and the setup/finalize conditions come
+        # from the scalar-prefetched tables instead of grid coordinates.
+        (i_tab, j_tab, f_tab, l_tab) = refs[:4]
+        (q_ref, k_ref, v_ref, o_ref, do_ref, l_ref,
+         dq_ref, dterm_ref, d_scr, acc_scr) = refs[4:]
+        g = pl.program_id(1)
+        i = i_tab[g]
+        j = j_tab[g]
+        setup_cond = f_tab[g] == 1
+        final_cond = l_tab[g] == 1
+    else:
+        (q_ref, k_ref, v_ref, o_ref, do_ref, l_ref,
+         dq_ref, dterm_ref, d_scr, acc_scr) = refs
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        setup_cond = j == 0
+        final_cond = j == num_kv_blocks - 1
     bq, bkv = kd.block_q, kd.block_kv
     scale2 = scale * LOG2E
     _prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
              else jax.lax.Precision.DEFAULT)
 
-    @pl.when(j == 0)
+    @pl.when(setup_cond)
     def _setup():
         # computeD: rowwise dO·O reduction (Softmax.swift:32-221). The
         # reference does simd shuffles; on TPU it's one VPU row reduction.
@@ -93,8 +108,10 @@ def _bwd_q_kernel(
     # unconditional masks) measured best; per-group lax.cond ("skip") runs
     # slower than not skipping at all.
     dense = is_causal and kd.causal_mode == "dense"
-    blockskip = is_causal and kd.causal_mode == "blockskip"
-    if is_causal and not dense:
+    blockskip = is_causal and (kd.causal_mode == "blockskip" or tablegrid)
+    if tablegrid:
+        block_live = True           # the pair tables ARE the live set
+    elif is_causal and not dense:
         block_live = j * bkv <= (i + 1) * bq - 1 + offset
         if window is not None:
             block_live &= (j + 1) * bkv - 1 >= i * bq + offset - (window - 1)
@@ -145,7 +162,6 @@ def _bwd_q_kernel(
     # vmem-resident operand list of the parameter table drives this).
     q_resident = "Q" in kd.vmem_resident
 
-    @pl.when(block_live)
     def _body():
         # Pre-scale Q (bf16 path) exactly like the forward kernel — one
         # (bq, d) multiply replaces a (bq, bkv) one.
@@ -248,7 +264,12 @@ def _bwd_q_kernel(
             else:
                 bwd_q_group(gi, grows, block_needs_mask)
 
-    @pl.when(j == num_kv_blocks - 1)
+    if block_live is True:
+        _body()
+    else:
+        pl.when(block_live)(_body)
+
+    @pl.when(final_cond)
     def _finalize():
         dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
 
@@ -275,6 +296,70 @@ def build_bwd_query(
     num_q_blocks = r_pad // bq
     num_kv_blocks = c_pad // bkv
     group = batch_heads // kv_batch_heads
+
+    if ((kd.causal or kd.sliding_window is not None)
+            and kd.causal_mode == "tablegrid"):
+        from mfa_tpu.kernels.flash_fwd import causal_pair_tables
+
+        offset = seq_len_kv - seq_len_q
+        i_tab, j_tab, f_tab, l_tab = causal_pair_tables(
+            num_q_blocks, num_kv_blocks, bq, bkv, offset,
+            kd.sliding_window)
+        n_pairs = len(i_tab)
+        kernel = functools.partial(
+            _bwd_q_kernel,
+            kd=kd, scale=scale,
+            seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
+            num_kv_blocks=num_kv_blocks, tablegrid=True,
+        )
+
+        def row_map_t(bh, g, i_t, j_t, f_t, l_t):
+            return (bh, i_t[g], 0)
+
+        def kv_map_t(bh, g, i_t, j_t, f_t, l_t):
+            return (bh // group, j_t[g], 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(batch_heads, n_pairs),
+            in_specs=[
+                pl.BlockSpec((1, bq, d_pad), row_map_t),    # q
+                pl.BlockSpec((1, bkv, d_pad), kv_map_t),    # k
+                pl.BlockSpec((1, bkv, d_pad), kv_map_t),    # v
+                pl.BlockSpec((1, bq, d_pad), row_map_t),    # o
+                pl.BlockSpec((1, bq, d_pad), row_map_t),    # do
+                pl.BlockSpec((1, bq, LANES), row_map_t),    # l
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, d_pad), row_map_t),    # dq
+                pl.BlockSpec((1, bq, LANES), row_map_t),    # D-term
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, LANES), jnp.float32),
+                pltpu.VMEM((bq, d_pad), jnp.float32),
+            ],
+        )
+        inner = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((batch_heads, r_pad, d_pad),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((batch_heads, r_pad, LANES),
+                                     jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )
+        # numpy, not jnp — see _build_fwd_tablegrid (trace-leak hazard).
+        tabs = (i_tab, j_tab, f_tab, l_tab)
+
+        def call(q3, k3, v3, o3, do3, l3):
+            return inner(*tabs, q3, k3, v3, o3, do3, l3)
+
+        return call
 
     kernel = functools.partial(
         _bwd_q_kernel,
@@ -340,26 +425,40 @@ def build_bwd_query(
 
 
 def _bwd_kv_kernel(
-    q_ref, k_ref, v_ref, do_ref, l_ref, dterm_ref,  # inputs
-    dk_ref, dv_ref,                                  # outputs
-    dk_scr, dv_scr,                                  # scratch accumulators
-    *,
+    *refs,
     kd: AttentionKernelDescriptor,
     scale: float,
     seq_len_q: int,
     seq_len_kv: int,
     num_q_blocks: int,
+    tablegrid: bool = False,
 ):
-    j = pl.program_id(1)          # kv block (parallel)
-    t = pl.program_id(2)          # traversal: (query-head of group, q block)
+    if tablegrid:
+        # Compressed live-pair grid: pairs enumerate (j kv-block, g query
+        # head of the group, i live q-block), j-major so the kv block and
+        # the dK/dV accumulators stay resident per run.
+        (j_tab, g_tab, i_tab, f_tab, l_tab) = refs[:5]
+        (q_ref, k_ref, v_ref, do_ref, l_ref, dterm_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs[5:]
+        pidx = pl.program_id(1)
+        j = j_tab[pidx]
+        i = i_tab[pidx]
+        setup_cond = f_tab[pidx] == 1
+        final_cond = l_tab[pidx] == 1
+    else:
+        (q_ref, k_ref, v_ref, do_ref, l_ref, dterm_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        j = pl.program_id(1)      # kv block (parallel)
+        t = pl.program_id(2)      # traversal: (query-head of group, q block)
+        i = t % num_q_blocks      # q block within the current query head
+        setup_cond = t == 0
+        final_cond = t == pl.num_programs(2) - 1
     bq, bkv = kd.block_q, kd.block_kv
     scale2 = scale * LOG2E
     _prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
              else jax.lax.Precision.DEFAULT)
 
-    i = t % num_q_blocks          # q block within the current query head
-
-    @pl.when(t == 0)
+    @pl.when(setup_cond)
     def _setup():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
@@ -369,8 +468,10 @@ def _bwd_kv_kernel(
     is_causal = kd.causal or window is not None
     # Causal modes — see flash_fwd.
     dense = is_causal and kd.causal_mode == "dense"
-    blockskip = is_causal and kd.causal_mode == "blockskip"
-    if is_causal and not dense:
+    blockskip = is_causal and (kd.causal_mode == "blockskip" or tablegrid)
+    if tablegrid:
+        block_live = True           # the pair tables ARE the live set
+    elif is_causal and not dense:
         block_live = j * bkv <= (i + 1) * bq - 1 + offset
         if window is not None:
             block_live &= (j + 1) * bkv - 1 >= i * bq + offset - (window - 1)
@@ -415,7 +516,6 @@ def _bwd_kv_kernel(
     # per traversal step, or re-scale each d-block slice on the fly.
     q_resident = "Q" in kd.vmem_resident
 
-    @pl.when(block_live)
     def _body():
         k = k_ref[0]
         q = q_ref[0]
@@ -557,7 +657,12 @@ def _bwd_kv_kernel(
             dv_scr[:, sl] += dv_parts[db]
             dk_scr[:, sl] += dk_parts[db]
 
-    @pl.when(t == pl.num_programs(2) - 1)
+    if block_live is True:
+        _body()
+    else:
+        pl.when(block_live)(_body)
+
+    @pl.when(final_cond)
     def _finalize():
         dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
@@ -586,6 +691,97 @@ def build_bwd_key_value(
     num_kv_blocks = c_pad // bkv
     group = batch_heads // kv_batch_heads
 
+    causal_like = kd.causal or kd.sliding_window is not None
+    offset = seq_len_kv - seq_len_q
+
+    if causal_like and kd.causal_mode == "tablegrid":
+        # Compressed live-pair grid, j-major then (g, i): kv block + dK/dV
+        # accumulators stay resident per j run; only live (below-diagonal)
+        # q blocks get grid steps (see flash_fwd.causal_pair_tables).
+        import numpy as np
+
+        window = kd.sliding_window
+        j_t, g_t, i_t, f_t, l_t = [], [], [], [], []
+        for j in range(num_kv_blocks):
+            live_is = []
+            for i in range(num_q_blocks):
+                live = j * bkv <= (i + 1) * bq - 1 + offset
+                if window is not None:
+                    live &= ((j + 1) * bkv - 1
+                             >= i * bq + offset - (window - 1))
+                if live:
+                    live_is.append(i)
+            if not live_is:
+                # Fully-masked run keeps the setup/finalize + dK/dV block
+                # writes (contributions vanish through the mask).
+                live_is = [0]
+            run = [(g, i) for g in range(group) for i in live_is]
+            for idx, (g, i) in enumerate(run):
+                j_t.append(j)
+                g_t.append(g)
+                i_t.append(i)
+                f_t.append(1 if idx == 0 else 0)
+                l_t.append(1 if idx == len(run) - 1 else 0)
+        tabs_np = (np.asarray(j_t, np.int32), np.asarray(g_t, np.int32),
+                   np.asarray(i_t, np.int32), np.asarray(f_t, np.int32),
+                   np.asarray(l_t, np.int32))
+        n_pairs = len(j_t)
+
+        kernel = functools.partial(
+            _bwd_kv_kernel,
+            kd=kd, scale=scale,
+            seq_len_q=seq_len_q, seq_len_kv=seq_len_kv,
+            num_q_blocks=num_q_blocks, tablegrid=True,
+        )
+
+        def q_map_t(bhkv, p, j_tb, g_tb, i_tb, f_tb, l_tb):
+            return (bhkv * group + g_tb[p], i_tb[p], 0)
+
+        def kv_map_t(bhkv, p, j_tb, g_tb, i_tb, f_tb, l_tb):
+            return (bhkv, j_tb[p], 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(kv_batch_heads, n_pairs),
+            in_specs=[
+                pl.BlockSpec((1, bq, d_pad), q_map_t),      # q
+                pl.BlockSpec((1, bkv, d_pad), kv_map_t),    # k
+                pl.BlockSpec((1, bkv, d_pad), kv_map_t),    # v
+                pl.BlockSpec((1, bq, d_pad), q_map_t),      # do
+                pl.BlockSpec((1, bq, LANES), q_map_t),      # l
+                pl.BlockSpec((1, bq, LANES), q_map_t),      # D-term
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bkv, d_pad), kv_map_t),    # dk
+                pl.BlockSpec((1, bkv, d_pad), kv_map_t),    # dv
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bkv, d_pad), jnp.float32),
+                pltpu.VMEM((bkv, d_pad), jnp.float32),
+            ],
+        )
+        inner = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((kv_batch_heads, c_pad, d_pad),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((kv_batch_heads, c_pad, d_pad),
+                                     jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )
+        # numpy, not jnp — see _build_fwd_tablegrid (trace-leak hazard).
+        tabs = tabs_np
+
+        def call(q3, k3, v3, do3, l3, dterm3):
+            return inner(*tabs, q3, k3, v3, do3, l3, dterm3)
+
+        return call
+
     kernel = functools.partial(
         _bwd_kv_kernel,
         kd=kd, scale=scale,
@@ -597,8 +793,6 @@ def build_bwd_key_value(
     # its q blocks. bh of the q-side = bh_kv * group + g. For causal, dead
     # q blocks (above the diagonal) clamp to the first live block so their
     # DMA is elided (see flash_fwd).
-    causal_like = kd.causal or kd.sliding_window is not None
-    offset = seq_len_kv - seq_len_q
 
     def q_map(bhkv, j, t):
         g = t // num_q_blocks

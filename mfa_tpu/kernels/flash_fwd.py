@@ -306,6 +306,265 @@ def _fwd_kernel(
         l_ref[0] = jnp.broadcast_to(lse2 * (1.0 / LOG2E), l_ref.shape[1:])
 
 
+def causal_pair_tables(num_q_blocks: int, num_kv_blocks: int, bq: int,
+                       bkv: int, offset: int, window: int | None):
+    """Static (i, j) tables enumerating LIVE causal blocks, i-major.
+
+    Returns (i_tab, j_tab, first_tab, last_tab) numpy int32 arrays. The
+    compressed grid walks exactly these pairs — dead (fully above-diagonal)
+    blocks never get a grid step AT ALL, where the blockskip mode still
+    schedules them (pl.when skips compute and the index-map clamp elides
+    DMA, but the pipeline pays its per-step prologue: measured ~93 us of
+    the 334 us causal D=128 latency in round 3)."""
+    import numpy as np
+
+    i_t, j_t, f_t, l_t = [], [], [], []
+    for i in range(num_q_blocks):
+        j_max = min(((i + 1) * bq - 1 + offset) // bkv, num_kv_blocks - 1)
+        j_min = 0
+        if window is not None:
+            j_min = min(max((i * bq + offset - (window - 1)) // bkv, 0),
+                        num_kv_blocks - 1)
+        if j_max < j_min:
+            # No visible keys for this whole row block (R > C causal edge);
+            # schedule one fully-masked pair so scratch init/finalize and
+            # the O/L block writes still happen.
+            js = [j_min]
+        else:
+            js = list(range(j_min, j_max + 1))
+        for idx, j in enumerate(js):
+            i_t.append(i)
+            j_t.append(j)
+            f_t.append(1 if idx == 0 else 0)
+            l_t.append(1 if idx == len(js) - 1 else 0)
+    return (np.asarray(i_t, np.int32), np.asarray(j_t, np.int32),
+            np.asarray(f_t, np.int32), np.asarray(l_t, np.int32))
+
+
+def _fwd_tablegrid_kernel(
+    i_tab, j_tab, first_tab, last_tab,   # scalar prefetch
+    q_ref, k_ref, v_ref,
+    o_ref, l_ref,
+    m_scr, l_scr, acc_scr,
+    *,
+    kd: AttentionKernelDescriptor,
+    scale: float,
+    seq_len_q: int,
+    seq_len_kv: int,
+):
+    """Causal forward over the compressed live-pair grid.
+
+    Same math as _fwd_kernel's blockskip mode (unconditional band masks,
+    (bq, 1) column softmax state, D-blocking, row groups), but the grid
+    itself enumerates only live blocks — i/j come from the prefetched
+    tables, init/finalize from the first/last flags."""
+    g = pl.program_id(1)
+    i = i_tab[g]
+    j = j_tab[g]
+    bq, bkv = kd.block_q, kd.block_kv
+    d_pad = q_ref.shape[-1]
+    fp32_in = q_ref.dtype == jnp.float32
+    _prec = (jax.lax.Precision.HIGHEST if fp32_in
+             else jax.lax.Precision.DEFAULT)
+    scale2 = scale * LOG2E
+    offset = seq_len_kv - seq_len_q
+    window = kd.sliding_window
+    col_edge_exists = seq_len_kv % bkv != 0
+
+    @pl.when(first_tab[g] == 1)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    inner = min(kd.block_kv_inner or bkv, bkv)
+    if bkv % inner != 0:
+        inner = bkv
+    n_inner = bkv // inner
+    qg = min(kd.block_q_inner or bq, bq)
+    if bq % qg != 0:
+        qg = bq
+    n_groups = bq // qg
+    q_resident = "Q" in kd.vmem_resident
+
+    def build_mask(ti, gi):
+        base = j * bkv + ti * inner
+        rbase = i * bq + gi * qg
+        col = base + jax.lax.broadcasted_iota(jnp.int32, (1, inner), 1)
+        row = rbase + jax.lax.broadcasted_iota(jnp.int32, (qg, 1), 0)
+        m = col <= row + offset
+        if window is not None:
+            m &= col >= row + offset - (window - 1)
+        if col_edge_exists:
+            m &= col < seq_len_kv
+        return m
+
+    if fp32_in or not q_resident:
+        q = q_ref[0]
+    else:
+        q = (q_ref[0].astype(jnp.float32) * scale2).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    nd = max(1, d_pad // kd.block_d)
+    p_dtype = kd.register_dtype(kd.p_register, v_ref.dtype)
+
+    for gi in range(n_groups):
+        grows = slice(gi * qg, (gi + 1) * qg)
+        m_run = m_scr[grows]
+        l_run = l_scr[grows]
+        for ti in range(n_inner):
+            rows = slice(ti * inner, (ti + 1) * inner)
+
+            def qk(db, rows=rows, grows=grows):
+                sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                q_sl = q[grows, sl]
+                if not fp32_in and not q_resident:
+                    q_sl = (q_sl.astype(jnp.float32) * scale2).astype(
+                        q_ref.dtype)
+                return jax.lax.dot_general(
+                    q_sl, k[rows, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec,
+                )
+
+            s = qk(0)
+            for db in range(1, nd):
+                s += qk(db)
+            if fp32_in:
+                s *= scale2
+
+            if kd.logit_soft_cap is not None:
+                cap2 = kd.logit_soft_cap * LOG2E
+                s = cap2 * jnp.tanh(s / cap2)
+
+            s = jnp.where(build_mask(ti, gi), s, MASK_VALUE)
+
+            m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
+            corr = jnp.exp2(m_run - m_new)
+            p = jnp.exp2(s - m_new)
+            l_run = corr * l_run + jnp.sum(p, axis=-1, keepdims=True)
+            m_run = m_new
+
+            p_cast = p.astype(p_dtype)
+            for db in range(nd):
+                sl = slice(db * kd.block_d, (db + 1) * kd.block_d)
+                pv = jax.lax.dot_general(
+                    p_cast, v[rows, sl],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec,
+                )
+                acc_scr[grows, sl] = acc_scr[grows, sl] * corr + pv
+
+        m_scr[grows] = m_run
+        l_scr[grows] = l_run
+
+    @pl.when(last_tab[g] == 1)
+    def _finalize():
+        l_safe = jnp.maximum(l_scr[...], 1e-37)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse2 = m_scr[...] + jnp.log2(l_safe)
+        l_ref[0] = jnp.broadcast_to(lse2 * (1.0 / LOG2E), l_ref.shape[1:])
+
+
+def _build_fwd_tablegrid(
+    kd: AttentionKernelDescriptor,
+    *,
+    batch_heads: int,
+    kv_batch_heads: int,
+    seq_len_q: int,
+    seq_len_kv: int,
+    d_pad: int,
+    scale: float,
+    q_dtype,
+    kv_dtype,
+    o_dtype,
+    interpret: bool = False,
+):
+    """Compressed-grid causal forward. Same call signature as the dense
+    grid's pallas_call — the pair tables are baked as jit constants."""
+    bq, bkv = kd.block_q, kd.block_kv
+    r_pad = _cdiv(seq_len_q, bq) * bq
+    c_pad = _cdiv(seq_len_kv, bkv) * bkv
+    num_q_blocks = r_pad // bq
+    num_kv_blocks = c_pad // bkv
+    group = batch_heads // kv_batch_heads
+    offset = seq_len_kv - seq_len_q
+
+    i_tab, j_tab, f_tab, l_tab = causal_pair_tables(
+        num_q_blocks, num_kv_blocks, bq, bkv, offset, kd.sliding_window)
+    n_pairs = len(i_tab)
+
+    kernel = functools.partial(
+        _fwd_tablegrid_kernel,
+        kd=kd,
+        scale=scale,
+        seq_len_q=seq_len_q,
+        seq_len_kv=seq_len_kv,
+    )
+
+    def q_map(bh, g, i_t, j_t, f_t, l_t):
+        return (bh, i_t[g], 0)
+
+    def kv_map(bh, g, i_t, j_t, f_t, l_t):
+        return (bh // group, j_t[g], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(batch_heads, n_pairs),
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), q_map),
+            pl.BlockSpec((1, bkv, d_pad), kv_map),
+            pl.BlockSpec((1, bkv, d_pad), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d_pad), q_map),
+            pl.BlockSpec((1, bq, LANES), q_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d_pad), jnp.float32),
+        ],
+    )
+
+    # Live-area FLOPs (the pairs ARE the live set).
+    flops = 2 * batch_heads * n_pairs * bq * bkv * (2 * d_pad)
+
+    inner = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch_heads, r_pad, d_pad), o_dtype),
+            jax.ShapeDtypeStruct((batch_heads, r_pad, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(
+                batch_heads * r_pad * d_pad * 2 * jnp.dtype(q_dtype).itemsize
+                + 2 * kv_batch_heads * c_pad * d_pad
+                * jnp.dtype(kv_dtype).itemsize
+            ),
+            transcendentals=batch_heads * n_pairs * bq * bkv,
+        ),
+        interpret=interpret,
+    )
+
+    # Keep the tables as NUMPY in the closure: a jnp constant created
+    # inside the first caller's trace is a tracer there, and the cached
+    # closure would leak it into every later trace (UnexpectedTracerError).
+    tabs = (i_tab, j_tab, f_tab, l_tab)
+
+    def call(q3, k3, v3):
+        return inner(*tabs, q3, k3, v3)
+
+    return call
+
+
 def build_fwd(
     kd: AttentionKernelDescriptor,
     *,
@@ -326,6 +585,13 @@ def build_fwd(
     outputs o [BH, R_pad, D_pad], l [BH, R_pad]. GQA is handled by the KV
     index map (query head h reads kv head h // group).
     """
+    if ((kd.causal or kd.sliding_window is not None)
+            and kd.causal_mode == "tablegrid"):
+        return _build_fwd_tablegrid(
+            kd, batch_heads=batch_heads, kv_batch_heads=kv_batch_heads,
+            seq_len_q=seq_len_q, seq_len_kv=seq_len_kv, d_pad=d_pad,
+            scale=scale, q_dtype=q_dtype, kv_dtype=kv_dtype,
+            o_dtype=o_dtype, interpret=interpret)
     bq, bkv = kd.block_q, kd.block_kv
     r_pad = _cdiv(seq_len_q, bq) * bq
     c_pad = _cdiv(seq_len_kv, bkv) * bkv

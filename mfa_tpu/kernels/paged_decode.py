@@ -3,12 +3,28 @@
 The paged companion of kernels/decode.py: instead of a contiguous
 [B, max_len] cache, each sequence's KV lives in PAGE_SIZE-token pages of a
 shared pool, addressed by a page table. The page table rides scalar
-prefetch (SMEM), so the BlockSpec index maps can compute each grid step's
-DMA source page — Mosaic still double-buffers the page fetches.
+prefetch (SMEM), so the BlockSpec index maps compute each grid step's DMA
+source page — Mosaic still double-buffers the page fetches.
 
-Same fused-dequant and online-softmax structure as the contiguous kernel;
-pages past a sequence's length are predicated off (their table entries
-point at the reserved null page and are never accumulated).
+Round-4 rework, applying the contiguous kernel's measured lessons
+(docs/MEASUREMENTS.md round 3/4):
+- HEAD-BATCHED page blocks: one grid step fetches a page for ALL kv heads
+  at once — the pool layout [num_pages, Hkv, page, d] makes the
+  (1, Hkv, page, d) block one contiguous slab, so each step moves
+  Hkv × page × d bytes (~128 KiB) instead of ~16 KiB; per-grid-step
+  overhead (~3-4 us on v5e) then amortizes like the contiguous kernel's
+  whole-cache blocks. Grid is (num_seqs, max_pages), not (B·Hkv, pages).
+- NO lax.cond around the length mask: cond materializes branch buffers and
+  stalls the Mosaic pipeline (the round-3 causal A/B; kernels/decode.py
+  carries the same finding). The mask is an unconditional select.
+- Per-token scales factor OUT of both contractions: raw storage->compute
+  convert on the VPU plus O(group, page) scale epilogues on S and P, never
+  an O(page, d) dequant. Scales are lane-contiguous [.., 1, page]
+  (a [.., page, 1] block DMA is page-many 4-byte strided descriptors —
+  the ~190 us/layer overhead found in round-4 contiguous profiling).
+- Dead pages (fully past the sequence length) are predicated off at block
+  level AND their DMA is elided by clamping the page-table lookup to the
+  last live page (index-map clamp, as in flash_fwd's causal maps).
 """
 
 from __future__ import annotations
@@ -20,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mfa_tpu.kernels.decode import _make_convert
 from mfa_tpu.kernels.flash_fwd import MASK_VALUE
 
 
@@ -34,14 +51,15 @@ def _paged_decode_kernel(
     m_scr, l_scr, acc_scr,
     *,
     num_kv_heads: int,
+    group: int,
     page_size: int,
     quantized: bool,
     compute_dtype,
+    convert,
     sliding_window: int | None = None,
 ):
-    bh = pl.program_id(0)
+    b = pl.program_id(0)
     j = pl.program_id(1)          # page slot within the sequence
-    b = bh // num_kv_heads
     length = lengths_ref[b]
     win_start = (jnp.maximum(length - sliding_window, 0)
                  if sliding_window is not None else 0)
@@ -54,42 +72,48 @@ def _paged_decode_kernel(
 
     @pl.when((j * page_size < length) & ((j + 1) * page_size > win_start))
     def _body():
-        q = q_ref[0]                                    # (group, d) prescaled
-        k = k_ref[0, 0]                                 # (page, d)
-        if quantized:
-            k = (k.astype(jnp.float32) * ks_ref[0, 0]).astype(compute_dtype)
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # (group, page)
+        # Unconditional length/window mask shared by every head (the tile
+        # is only (1, page); lax.cond here measurably costs more than the
+        # select — see module docstring).
+        col = j * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, page_size), 1)
+        live = col < length
+        if sliding_window is not None:
+            live &= col >= win_start
 
-        crossing = ((j + 1) * page_size > length) | (j * page_size < win_start)
+        for h in range(num_kv_heads):
+            rows = slice(h * group, (h + 1) * group)
+            q = q_ref[0, rows]                          # (group, d) prescaled
+            k = k_ref[0, h]                             # (page, d) storage
+            if quantized:
+                k = convert(k)
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                           # (group, page)
+            if quantized:
+                s = s * ks_ref[0, h]
+            s = jnp.where(live, s, MASK_VALUE)
 
-        def apply_mask(s):
-            col = j * page_size + jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, 1)
-            return jnp.where((col < length) & (col >= win_start), s,
-                             MASK_VALUE)
+            m_prev = m_scr[rows]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            corr = jnp.exp2(m_prev - m_new)
+            p = jnp.exp2(s - m_new)
+            l_scr[rows] = corr * l_scr[rows] + jnp.sum(p, axis=-1,
+                                                       keepdims=True)
+            m_scr[rows] = m_new
 
-        s = jax.lax.cond(crossing, apply_mask, lambda s: s, s)
-
-        m_prev = m_scr[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        corr = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new)
-        l_scr[...] = corr * l_scr[...] + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = m_new
-
-        v = v_ref[0, 0]
-        if quantized:
-            v = (v.astype(jnp.float32) * vs_ref[0, 0]).astype(compute_dtype)
-        pv = jax.lax.dot_general(
-            p.astype(compute_dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * corr + pv
+            v = v_ref[0, h]
+            if quantized:
+                p = p * vs_ref[0, h]
+                v = convert(v)
+            pv = jax.lax.dot_general(
+                p.astype(compute_dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[rows] = acc_scr[rows] * corr + pv
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _finalize():
@@ -112,60 +136,75 @@ def build_paged_decode(
     sliding_window: int | None = None,
     interpret: bool = False,
 ):
-    """Paged decode attention.
+    """Paged decode attention (head-batched page blocks).
 
     Operands:
       page_tables [num_seqs, max_pages] int32     (scalar prefetch)
       lengths     [num_seqs] int32                (scalar prefetch)
-      q           [num_seqs*Hkv, group, d_pad]    (pre-scaled)
+      q           [num_seqs, Hkv*group, d_pad]    (pre-scaled)
       k_pages, v_pages [num_pages, Hkv, page, d_pad]
-      k_scale, v_scale [num_pages, Hkv, page, 1]
-    Returns o [num_seqs*Hkv, group, d_pad].
+      k_scale, v_scale [num_pages, Hkv, 1, page]  (lane-contiguous)
+    Returns o [num_seqs, Hkv*group, d_pad].
     """
-    bh = num_seqs * num_kv_heads
-
+    compute_dtype = (jnp.bfloat16 if jnp.dtype(q_dtype) == jnp.bfloat16
+                     else jnp.float32)
     kernel = functools.partial(
         _paged_decode_kernel,
         num_kv_heads=num_kv_heads,
+        group=group,
         page_size=page_size,
         quantized=quantized,
-        compute_dtype=(jnp.bfloat16 if jnp.dtype(q_dtype) == jnp.bfloat16
-                       else jnp.float32),
+        compute_dtype=compute_dtype,
+        convert=_make_convert(kv_dtype, compute_dtype),
         sliding_window=sliding_window,
     )
 
-    def head_map(bh_, j, pt_ref, len_ref):
-        return (bh_, 0, 0)
+    def head_map(b, j, pt_ref, len_ref):
+        return (b, 0, 0)
 
-    def page_map(bh_, j, pt_ref, len_ref):
-        b = bh_ // num_kv_heads
-        h = bh_ % num_kv_heads
-        return (pt_ref[b, j], h, 0, 0)
+    def page_map(b, j, pt_ref, len_ref):
+        # Clamp dead page slots to the last live page: Mosaic's revisit
+        # detection elides the repeat DMA entirely (flash_fwd's causal
+        # index-map clamp, applied to the page gather).
+        last_live = jnp.maximum(
+            (len_ref[b] + page_size - 1) // page_size - 1, 0)
+        jj = jnp.minimum(j, last_live)
+        return (pt_ref[b, jj], 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(bh, max_pages),
+        grid=(num_seqs, max_pages),
         in_specs=[
-            pl.BlockSpec((1, group, d_pad), head_map),          # q
-            pl.BlockSpec((1, 1, page_size, d_pad), page_map),   # k pages
-            pl.BlockSpec((1, 1, page_size, d_pad), page_map),   # v pages
-            pl.BlockSpec((1, 1, page_size, 1), page_map),       # k scales
-            pl.BlockSpec((1, 1, page_size, 1), page_map),       # v scales
+            pl.BlockSpec((1, num_kv_heads * group, d_pad), head_map),  # q
+            pl.BlockSpec((1, num_kv_heads, page_size, d_pad), page_map),
+            pl.BlockSpec((1, num_kv_heads, page_size, d_pad), page_map),
+            pl.BlockSpec((1, num_kv_heads, 1, page_size), page_map),
+            pl.BlockSpec((1, num_kv_heads, 1, page_size), page_map),
         ],
-        out_specs=pl.BlockSpec((1, group, d_pad), head_map),
+        out_specs=pl.BlockSpec((1, num_kv_heads * group, d_pad), head_map),
         scratch_shapes=[
-            pltpu.VMEM((group, 1), jnp.float32),
-            pltpu.VMEM((group, 1), jnp.float32),
-            pltpu.VMEM((group, d_pad), jnp.float32),
+            pltpu.VMEM((num_kv_heads * group, 1), jnp.float32),
+            pltpu.VMEM((num_kv_heads * group, 1), jnp.float32),
+            pltpu.VMEM((num_kv_heads * group, d_pad), jnp.float32),
         ],
     )
 
+    kv_bytes = jnp.dtype(kv_dtype).itemsize
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, group, d_pad), o_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_seqs, num_kv_heads * group, d_pad), o_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 * num_seqs * num_kv_heads * group
+                   * max_pages * page_size * d_pad),
+            bytes_accessed=(2 * num_seqs * num_kv_heads * max_pages
+                            * page_size * d_pad * kv_bytes),
+            transcendentals=(num_seqs * num_kv_heads * group
+                             * max_pages * page_size),
         ),
         interpret=interpret,
     )

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from mfa_tpu.kernels import quant
 from mfa_tpu.ops.attention import flash_attention
-from mfa_tpu.ops.decode import decode_attention
+from mfa_tpu.ops.decode import decode_attention, decode_attention_append
 from mfa_tpu.ops.precision import OperandPrecision
 from mfa_tpu.serving import kv_cache as kv_cache_mod
 
@@ -386,11 +386,13 @@ def decode_step(params, cfg: LlamaConfig, tokens, caches, *, interpret=None,
         q, k, v = _project_qkv(layer, h, cfg, dtype)        # [B, H, 1, D]
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
-        cache = kv_cache_mod.update(caches[li], k, v)
+        # Fused append+attend: the cache write rides the attention kernel
+        # (aliased in/out cache, one-row DMA) instead of a separate
+        # 4-scatter update pass — see ops/decode.decode_attention_append.
+        o, cache = decode_attention_append(
+            q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :], caches[li],
+            sliding_window=cfg.sliding_window, interpret=interpret)
         new_caches.append(cache)
-        o = decode_attention(q[:, :, 0, :], cache,
-                             sliding_window=cfg.sliding_window,
-                             interpret=interpret)
         att = _matmul(o.reshape(b, 1, -1), layer["wo"], dtype)
         if tp_axis is not None:
             att = jax.lax.psum(att, tp_axis)

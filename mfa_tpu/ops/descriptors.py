@@ -38,6 +38,20 @@ from mfa_tpu.ops.precision import (
     make_precision_policy,
 )
 
+# Causal schedule default + bench override (scripts/bench_train.py --mode).
+# "blockskip" is the round-3 measured winner of {skip, dense, blockskip};
+# round-4 adds "tablegrid" (compressed live-pair grid) — the default is
+# flipped there once the chip A/B confirms it.
+_CAUSAL_MODE_DEFAULT = "blockskip"
+_causal_mode_override: str | None = None
+
+
+def set_causal_mode_override(mode: str | None) -> None:
+    """Force every subsequently-built attention kernel's causal schedule
+    (None restores the measured default). Bench/testing knob."""
+    global _causal_mode_override
+    _causal_mode_override = mode
+
 
 class AttentionKernelType(enum.Enum):
     """The three-kernel split (reference: AttentionKernelType.swift:10-23).
@@ -133,6 +147,7 @@ class AttentionDescriptor:
         policy = self.precision_policy()
         return AttentionKernelDescriptor(
             kernel_type=kernel_type,
+            causal_mode=_causal_mode_override or _CAUSAL_MODE_DEFAULT,
             block_q=block_q,
             block_kv=block_kv,
             block_d=block_d,

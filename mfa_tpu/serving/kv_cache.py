@@ -34,10 +34,23 @@ from mfa_tpu.ops.precision import OperandPrecision
 class KVCache:
     k: jnp.ndarray          # [B, Hkv, max_len, D_pad] storage dtype
     v: jnp.ndarray
-    k_scale: jnp.ndarray    # [B, Hkv, max_len, 1] f32 (ones when unquantized)
+    # Per-token scales, LANE-CONTIGUOUS layout [B, Hkv, 1, max_len] f32
+    # (ones when unquantized). The length axis must be the minor/lane axis:
+    # a [.., max_len, 1] layout makes the decode kernel's per-grid-step
+    # scale DMA a (block_kv, 1)-shaped transfer — thousands of 4-byte
+    # strided descriptors — which round-4 profiling measured as ~190 us of
+    # fixed overhead PER LAYER (4x the whole KV stream's speed-of-light).
+    k_scale: jnp.ndarray
     v_scale: jnp.ndarray
     lengths: jnp.ndarray    # [B] int32 — tokens currently in the cache
     precision: OperandPrecision
+
+    def dequant(self):
+        """(k, v) as fp32 [B, Hkv, max_len, D_pad] — test/oracle helper."""
+        ks = jnp.swapaxes(self.k_scale, -1, -2)     # [B, Hkv, L, 1]
+        vs = jnp.swapaxes(self.v_scale, -1, -2)
+        return (self.k.astype(jnp.float32) * ks,
+                self.v.astype(jnp.float32) * vs)
 
     @property
     def batch(self) -> int:
@@ -84,8 +97,8 @@ def create(
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
-        k_scale=jnp.ones((batch, num_kv_heads, max_len, 1), jnp.float32),
-        v_scale=jnp.ones((batch, num_kv_heads, max_len, 1), jnp.float32),
+        k_scale=jnp.ones((batch, num_kv_heads, 1, max_len), jnp.float32),
+        v_scale=jnp.ones((batch, num_kv_heads, 1, max_len), jnp.float32),
         lengths=jnp.zeros((batch,), jnp.int32),
         precision=precision,
     )
@@ -116,19 +129,26 @@ def update(cache: KVCache, k_new, v_new) -> KVCache:
 
     kq, ks = _quantize_for(cache.precision, k_new)
     vq, vs = _quantize_for(cache.precision, v_new)
+    ks = jnp.swapaxes(ks, -1, -2)   # [B, Hkv, 1, T] (lane-contiguous)
+    vs = jnp.swapaxes(vs, -1, -2)
 
     def upd_seq(buf, new, start):
-        # buf [Hkv, max_len, ...], new [Hkv, T, ...]
+        # buf [Hkv, max_len, D], new [Hkv, T, D]
         return jax.lax.dynamic_update_slice(buf, new, (0, start, 0))
 
+    def upd_scale(buf, new, start):
+        # buf [Hkv, 1, max_len], new [Hkv, 1, T]
+        return jax.lax.dynamic_update_slice(buf, new, (0, 0, start))
+
     upd = jax.vmap(upd_seq)
+    upds = jax.vmap(upd_scale)
     starts = cache.lengths
     return replace(
         cache,
         k=upd(cache.k, kq, starts),
         v=upd(cache.v, vq, starts),
-        k_scale=upd(cache.k_scale, ks, starts),
-        v_scale=upd(cache.v_scale, vs, starts),
+        k_scale=upds(cache.k_scale, ks, starts),
+        v_scale=upds(cache.v_scale, vs, starts),
         lengths=cache.lengths + t,
     )
 

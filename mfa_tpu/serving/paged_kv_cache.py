@@ -12,7 +12,11 @@ the arrays.
 
 Layout:
   k_pages, v_pages : [num_pages, Hkv, PAGE, D_pad]   storage dtype
-  k_scale, v_scale : [num_pages, Hkv, PAGE, 1] f32   (per-token scales)
+  k_scale, v_scale : [num_pages, Hkv, 1, PAGE] f32   (per-token scales,
+                     lane-contiguous — a [.., PAGE, 1] layout makes each
+                     scale block DMA PAGE-many 4-byte strided descriptors,
+                     the ~190 us/layer overhead measured on the contiguous
+                     cache in round 4)
   page_tables      : [num_seqs, max_pages]  int32    (host-managed numpy)
   lengths          : [num_seqs]             int32
 """
@@ -71,9 +75,9 @@ class PagedKVCache:
         self.pool = PagePool(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(shape, dtype),
-            k_scale=jnp.ones((num_pages, num_kv_heads, PAGE_SIZE, 1),
+            k_scale=jnp.ones((num_pages, num_kv_heads, 1, PAGE_SIZE),
                              jnp.float32),
-            v_scale=jnp.ones((num_pages, num_kv_heads, PAGE_SIZE, 1),
+            v_scale=jnp.ones((num_pages, num_kv_heads, 1, PAGE_SIZE),
                              jnp.float32),
             precision=precision,
         )
@@ -127,6 +131,8 @@ class PagedKVCache:
 
         kq, ks = _quantize_for(self.pool.precision, k_new)
         vq, vs = _quantize_for(self.pool.precision, v_new)
+        ks = jnp.swapaxes(ks, -1, -2)   # [Hkv, 1, T] lane-contiguous
+        vs = jnp.swapaxes(vs, -1, -2)
 
         pool = self.pool
         # Split the token range into page-aligned chunks and scatter each.
@@ -138,12 +144,15 @@ class PagedKVCache:
             n = min(PAGE_SIZE - in_page, t - off)
             upd = lambda buf, new: buf.at[page_idx, :, in_page:in_page + n].set(
                 new[:, off:off + n])
+            upd_s = lambda buf, new: buf.at[
+                page_idx, :, :, in_page:in_page + n].set(
+                new[:, :, off:off + n])
             pool = replace(
                 pool,
                 k_pages=upd(pool.k_pages, kq),
                 v_pages=upd(pool.v_pages, vq),
-                k_scale=upd(pool.k_scale, ks),
-                v_scale=upd(pool.v_scale, vs),
+                k_scale=upd_s(pool.k_scale, ks),
+                v_scale=upd_s(pool.v_scale, vs),
             )
             off += n
         self.pool = pool
@@ -194,10 +203,16 @@ def splice_pages(pool: PagePool, page_ids, k_new, v_new) -> PagePool:
         x = x.reshape((hkv, tp // PAGE_SIZE, PAGE_SIZE) + x.shape[2:])
         return jnp.swapaxes(x, 0, 1)
 
+    def to_scale_pages(x):
+        # [Hkv, n*PAGE, 1] → [n, Hkv, 1, PAGE] (lane-contiguous scales)
+        hkv, tp = x.shape[0], x.shape[1]
+        x = x[..., 0].reshape(hkv, tp // PAGE_SIZE, PAGE_SIZE)
+        return jnp.swapaxes(x, 0, 1)[:, :, None, :]
+
     return replace(
         pool,
         k_pages=pool.k_pages.at[page_ids].set(to_pages(kq)),
         v_pages=pool.v_pages.at[page_ids].set(to_pages(vq)),
-        k_scale=pool.k_scale.at[page_ids].set(to_pages(ks)),
-        v_scale=pool.v_scale.at[page_ids].set(to_pages(vs)),
+        k_scale=pool.k_scale.at[page_ids].set(to_scale_pages(ks)),
+        v_scale=pool.v_scale.at[page_ids].set(to_scale_pages(vs)),
     )

@@ -51,15 +51,19 @@ def _append_token_batch(pool, tables, lengths, k_new, v_new):
     vq, vs = _quantize_for(pool.precision, v_new[:, :, None, :])
 
     def scat(buf, val):
-        # buf [num_pages, Hkv, PAGE, ...]; write row (pages[b], :, in_page[b]).
+        # buf [num_pages, Hkv, PAGE, D]; write row (pages[b], :, in_page[b]).
         return buf.at[pages, :, in_page].set(val[:, :, 0])
+
+    def scat_scale(buf, val):
+        # buf [num_pages, Hkv, 1, PAGE] (lane-contiguous); val [B, Hkv, 1, 1].
+        return buf.at[pages, :, 0, in_page].set(val[:, :, 0, 0])
 
     return dataclasses.replace(
         pool,
         k_pages=scat(pool.k_pages, kq),
         v_pages=scat(pool.v_pages, vq),
-        k_scale=scat(pool.k_scale, ks),
-        v_scale=scat(pool.v_scale, vs),
+        k_scale=scat_scale(pool.k_scale, ks),
+        v_scale=scat_scale(pool.v_scale, vs),
     )
 
 

@@ -89,7 +89,13 @@ def main():
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--mode", default=None,
+                    help="causal schedule override (blockskip/tablegrid/"
+                         "dense/skip); records into the jsonl when set")
     args = ap.parse_args()
+    if args.mode:
+        from mfa_tpu.ops.descriptors import set_causal_mode_override
+        set_causal_mode_override(args.mode)
 
     gen = detect_generation()
     print(f"# generation {gen.name}, peak {gen.bf16_tflops} TFLOP/s",
@@ -97,6 +103,8 @@ def main():
     rows = []
     for d in args.d:
         rec = bench_d(d, args.n, args.heads, gen, args.causal)
+        if args.mode:
+            rec["mode"] = args.mode
         rows.append(rec)
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")

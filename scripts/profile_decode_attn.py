@@ -90,8 +90,8 @@ def main():
         pre.append((c.lengths,
                     c.k.reshape(bh, max_len, d_pad),
                     c.v.reshape(bh, max_len, d_pad),
-                    c.k_scale.reshape(bh, max_len, 1),
-                    c.v_scale.reshape(bh, max_len, 1)))
+                    c.k_scale.reshape(bh, 1, max_len),
+                    c.v_scale.reshape(bh, 1, max_len)))
     q3 = q0.reshape(args.batch, args.hkv, group, d_pad).reshape(bh, group, d_pad)
 
     def direct_step(carry):

@@ -85,3 +85,51 @@ def test_bwd_d_blocked(rng):
     assert_close(dq, wq, 5e-5, "dQ D=160")
     assert_close(dk, wk, 5e-5, "dK D=160")
     assert_close(dv, wv, 5e-5, "dV D=160")
+
+
+def test_bwd_causal_tablegrid_matches_blockskip(rng):
+    """The compressed-grid causal schedule (tablegrid) is a scheduling
+    strategy, not semantics: both backward kernels must produce gradients
+    bitwise-identical to blockskip (same live blocks, same j order)."""
+    import dataclasses
+
+    import numpy as np
+
+    from mfa_tpu.ops import attention as attn_mod
+    from mfa_tpu.ops.descriptors import AttentionKernelType
+
+    q, k, v, do = make_attention_inputs(rng, 1, 4, 2, 300, 520, 64,
+                                        dtype=jnp.bfloat16)
+
+    def grads(mode):
+        cfg = attn_mod._AttnConfig(causal=True, scale=None,
+                                   logit_soft_cap=None, sliding_window=None,
+                                   interpret=True)
+        desc = attn_mod._descriptor(q, k, v, cfg)
+        outs = {}
+        import mfa_tpu.ops.descriptors as dmod
+        orig = dmod.AttentionDescriptor.kernel_descriptor
+
+        def patched(self, ktype, generation=None):
+            return dataclasses.replace(orig(self, ktype, generation),
+                                       causal_mode=mode)
+
+        dmod.AttentionDescriptor.kernel_descriptor = patched
+        try:
+            attn_mod.attention_cache.clear()
+            def loss(q, k, v):
+                o = attn_mod.flash_attention(q, k, v, causal=True,
+                                             interpret=True)
+                return jnp.sum(o.astype(jnp.float32)
+                               * do.astype(jnp.float32))
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            dmod.AttentionDescriptor.kernel_descriptor = orig
+            attn_mod.attention_cache.clear()
+
+    g_bs = grads("blockskip")
+    g_tg = grads("tablegrid")
+    for name, a, b in zip(("dQ", "dK", "dV"), g_bs, g_tg):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            err_msg=f"{name} tablegrid != blockskip")

@@ -126,7 +126,7 @@ def test_causal_modes_equivalent(rng):
                        ((0, 0), (0, s - x.shape[2]), (0, d_pad - 64)))
 
     outs = {}
-    for mode in ("skip", "blockskip", "dense"):
+    for mode in ("skip", "blockskip", "dense", "tablegrid"):
         kdx = dataclasses.replace(kd, causal_mode=mode)
         fn = flash_fwd.build_fwd(
             kdx, batch_heads=2, kv_batch_heads=2, seq_len_q=300,
@@ -140,4 +140,8 @@ def test_causal_modes_equivalent(rng):
     for mode, o in outs.items():
         assert_close(o[None], want, 5e-2, f"causal mode {mode}")
     np.testing.assert_array_equal(np.asarray(outs["skip"], np.float32),
+                                  np.asarray(outs["blockskip"], np.float32))
+    # The compressed-grid schedule visits the same live blocks in the same
+    # j order per row block — bitwise-identical to blockskip.
+    np.testing.assert_array_equal(np.asarray(outs["tablegrid"], np.float32),
                                   np.asarray(outs["blockskip"], np.float32))

@@ -24,7 +24,8 @@ def model():
 def test_checkpoint_roundtrip(model, tmp_path):
     cfg, params = model
     checkpoint.save(tmp_path / "ckpt", params, metadata={"step": 7})
-    restored, meta = checkpoint.load(tmp_path / "ckpt")
+    like = llama.init_params(jax.random.key(99), cfg, jnp.float32)
+    restored, meta = checkpoint.load(tmp_path / "ckpt", like)
     assert meta["step"] == 7
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored)):
@@ -35,9 +36,64 @@ def test_checkpoint_kv_cache_roundtrip(model, tmp_path):
     cfg, _ = model
     caches = llama.make_caches(cfg, 2, 32, OperandPrecision.INT8)
     checkpoint.save(tmp_path / "kv", caches)
-    restored, _ = checkpoint.load(tmp_path / "kv")
+    like = llama.make_caches(cfg, 2, 32, OperandPrecision.INT8)
+    restored, _ = checkpoint.load(tmp_path / "kv", like)
     assert restored[0].precision == OperandPrecision.INT8
     assert restored[0].k.dtype == jnp.int8
+
+
+def test_checkpoint_quantized_params_roundtrip(model, tmp_path):
+    """Round-trip with QuantizedWeight leaves (round-3 VERDICT item 8):
+    the path-keyed format reconstructs custom pytree nodes from the
+    template, no pickled treedef."""
+    cfg, params = model
+    qparams = llama.quantize_params(params, OperandPrecision.INT8)
+    checkpoint.save(tmp_path / "q", qparams, metadata={"kind": "int8"})
+    like = llama.quantize_params(
+        llama.init_params(jax.random.key(5), cfg, jnp.float32),
+        OperandPrecision.INT8)
+    restored, meta = checkpoint.load(tmp_path / "q", like)
+    assert meta["kind"] == "int8"
+    w0 = restored["layers"][0]["wq"]
+    from mfa_tpu.kernels.quant import QuantizedWeight
+    assert isinstance(w0, QuantizedWeight) and w0.kind == "int8"
+    for a, b in zip(jax.tree_util.tree_leaves(qparams),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_sharded_cache_roundtrip(model, tmp_path):
+    """Sharded save/restore on the virtual mesh: a (dp, tp)-sharded KV
+    cache round-trips with its placement restored from the template."""
+    from jax.sharding import Mesh
+    from mfa_tpu.serving.distributed import shard_caches
+
+    cfg, _ = model
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "tp"))
+    caches = llama.make_caches(cfg, 2, 32, OperandPrecision.INT8)
+    filled = []
+    for c in caches:
+        k = jnp.ones((2, cfg.n_kv_heads, 8, cfg.head_dim), jnp.float32)
+        filled.append(__import__("mfa_tpu.serving.kv_cache",
+                                 fromlist=["update"]).update(c, k, k))
+    sharded = shard_caches(filled, mesh)
+    checkpoint.save(tmp_path / "sc", sharded)
+    like = shard_caches(llama.make_caches(cfg, 2, 32, OperandPrecision.INT8),
+                        mesh)
+    restored, _ = checkpoint.load(tmp_path / "sc", like)
+    assert restored[0].k.sharding == sharded[0].k.sharding
+    np.testing.assert_array_equal(np.asarray(restored[0].k),
+                                  np.asarray(sharded[0].k))
+    assert np.asarray(restored[0].lengths).tolist() == [8, 8]
+
+
+def test_checkpoint_rejects_unknown_format(tmp_path):
+    import json as _json
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "meta.json").write_text(_json.dumps({"format": "v1"}))
+    with pytest.raises(ValueError):
+        checkpoint.load(d, like={})
 
 
 def test_perplexity_parity_and_kv_delta(model, rng):

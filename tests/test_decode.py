@@ -46,8 +46,9 @@ def test_decode_vs_oracle(rng, precision, tol):
     # Oracle per sequence with its true length (dequantized cache contents
     # so quantization error of K/V isn't double counted — the kernel must
     # match attention over what the cache actually stores).
-    kd = np.asarray(cache.k.astype(jnp.float32) * cache.k_scale)[..., :d]
-    vd = np.asarray(cache.v.astype(jnp.float32) * cache.v_scale)[..., :d]
+    kdq, vdq = cache.dequant()
+    kd = np.asarray(kdq)[..., :d]
+    vd = np.asarray(vdq)[..., :d]
     for i, ln in enumerate(lens):
         want, _ = attention_reference(
             np.asarray(q, np.float32)[i : i + 1, :, None, :],
@@ -95,3 +96,44 @@ def test_cache_append_decode_step(rng):
     vv = jnp.concatenate([v0, v1], axis=2)
     want, _ = attention_reference(q[:, :, None, :], kk, vv)
     assert_close(o[:, :, None, :], want, 2e-2, "append+decode O")
+
+
+@pytest.mark.parametrize("precision", [OperandPrecision.BF16,
+                                       OperandPrecision.INT8,
+                                       OperandPrecision.FP8_E4M3])
+def test_fused_append_matches_update(rng, precision):
+    """decode_attention_append must write EXACTLY what update() writes
+    (same quantization formulas in-kernel) and attend equivalently; the
+    new token's column is computed unquantized, so O may differ from the
+    two-pass path only within the quantization budget."""
+    from mfa_tpu.ops.decode import decode_attention_append
+
+    b, hq, hkv, d, max_len = 2, 8, 2, 64, 640
+    lens = [300, 513]
+    cache, _, _ = _fill_cache(rng, b, hkv, lens, max_len, d, precision)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.5, jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.5, jnp.bfloat16)
+
+    o_fused, cache_fused = decode_attention_append(q, k_new, v_new, cache)
+
+    cache_two = kv_cache.update(cache, k_new[:, :, None, :],
+                                v_new[:, :, None, :])
+    o_two = decode_attention(q, cache_two)
+
+    # Cache contents: bitwise-identical quantized rows; scales to 1 ULP
+    # (reduction order of the in-kernel amax may differ from XLA's).
+    for f in ("k", "v"):
+        a = np.asarray(getattr(cache_fused, f).astype(jnp.float32))
+        bb = np.asarray(getattr(cache_two, f).astype(jnp.float32))
+        np.testing.assert_array_equal(a, bb, err_msg=f)
+    for f in ("k_scale", "v_scale"):
+        a = np.asarray(getattr(cache_fused, f))
+        bb = np.asarray(getattr(cache_two, f))
+        np.testing.assert_allclose(a, bb, rtol=1e-6, err_msg=f)
+    np.testing.assert_array_equal(np.asarray(cache_fused.lengths),
+                                  np.asarray(cache_two.lengths))
+
+    tol = 2e-2 if precision is OperandPrecision.BF16 else 6e-2
+    assert_close(np.asarray(o_fused, np.float32),
+                 np.asarray(o_two, np.float32), tol, "fused O")

@@ -62,15 +62,27 @@ def test_paged_continuous_and_page_recycling(model):
 def test_paged_int8_kv(model):
     cfg, params = model
     prompt = [5, 17, 42, 7]
-    want = _reference_generate(params, cfg, prompt, 4)
     sched = PagedScheduler(params, cfg, num_slots=1, num_pages=16,
                            max_len=256, prompt_buckets=(8,),
                            kv_precision=OperandPrecision.INT8)
     sched.submit(Request(prompt=prompt, max_new_tokens=4))
     done = sched.run()
-    # int8 KV: allow greedy path to diverge only if logit gap is tiny —
-    # on this tiny model it should match exactly.
-    assert done[0].tokens == want
+    # INT8 KV perturbs logits by the quantization budget, so greedy
+    # near-ties may flip vs the full-precision path (the round-4 scale-fold
+    # rework changed the rounding ORDER, not its magnitude, and flipped one
+    # such tie on this random tiny model). The robust correctness bar: each
+    # chosen token must be near-argmax under the FULL-PRECISION model along
+    # the actually-generated history — a corrupted cache produces tokens
+    # with large logit deficits, a quantization tie does not.
+    toks = done[0].tokens
+    assert len(toks) == 4
+    hist = list(prompt)
+    for tok in toks:
+        logits = llama.forward(params, cfg, jnp.asarray([hist], jnp.int32))
+        row = np.asarray(logits[0, -1])
+        deficit = float(row.max() - row[tok])
+        assert deficit < 0.05, (tok, deficit)
+        hist.append(tok)
 
 
 def test_admission_deferred_under_memory_pressure(model):
