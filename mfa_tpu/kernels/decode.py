@@ -176,7 +176,11 @@ def _decode_kernel_single(
         o = jax.lax.dot_general(
             p.astype(compute_dtype), vv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) / l
-    o_ref[0] = o.astype(o_ref.dtype)
+    # Empty slot (length 0): every column is masked, m == sentinel, and the
+    # masked p's are exp2(0)=1 — o would be a bogus mean of V. Emit zeros
+    # (scheduler slots with length 0 are inactive; their output must be
+    # inert).
+    o_ref[0] = jnp.where(m == MASK_VALUE, 0.0, o).astype(o_ref.dtype)
 
 
 def _decode_kernel(
@@ -261,7 +265,9 @@ def _decode_kernel(
     @pl.when(j == pl.num_programs(1) - 1)
     def _finalize():
         l_safe = jnp.maximum(l_scr[...], 1e-37)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        empty = m_scr[...] == MASK_VALUE     # length-0 slot (see single)
+        o_ref[0] = jnp.where(empty, 0.0,
+                             acc_scr[...] / l_safe).astype(o_ref.dtype)
 
 
 def build_decode(
@@ -515,8 +521,20 @@ def _decode_fused_kernel(
         vscale = jnp.float32(1.0)
         krow = kn.astype(ko_ref.dtype)
         vrow = vn.astype(vo_ref.dtype)
-    ko_ref[0] = krow
-    vo_ref[0] = vrow
+    # Mosaic requires output block sublanes divisible by 8: write an
+    # 8-row aligned window (read-modify-write — the window rows come from
+    # the already-resident full cache block, so no extra DMA).
+    win_start = (length // 8) * 8
+    row_in_win = length - win_start
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == row_in_win
+    # Ref-level dynamic slice (value-level lax.dynamic_slice is not
+    # lowerable by Mosaic; ref reads with pl.ds are).
+    k_win = k_ref[0, pl.ds(win_start, 8), :]
+    v_win = v_ref[0, pl.ds(win_start, 8), :]
+    ko_ref[0] = jnp.where(rsel, jnp.broadcast_to(krow, (8, krow.shape[1])),
+                          k_win)
+    vo_ref[0] = jnp.where(rsel, jnp.broadcast_to(vrow, (8, vrow.shape[1])),
+                          v_win)
     lane = col == length                           # (1, L)
     kso_ref[0] = jnp.where(lane, kscale, ks_ref[0])
     vso_ref[0] = jnp.where(lane, vscale, vs_ref[0])
@@ -569,8 +587,10 @@ def build_decode_fused_append(
         return (bh_, 0, 0)
 
     def row_out(bh_, j, lengths_ref):
+        # 8-row aligned write window containing the append position
+        # (Mosaic block-divisibility; the kernel RMWs the window).
         b = bh_ // num_kv_heads
-        return (bh_, jnp.minimum(lengths_ref[b], max_len - 1), 0)
+        return (bh_, jnp.minimum(lengths_ref[b], max_len - 1) // 8, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -586,8 +606,8 @@ def build_decode_fused_append(
         ],
         out_specs=[
             pl.BlockSpec((1, group, d_pad), hm),       # o
-            pl.BlockSpec((1, 1, d_pad), row_out),      # k row write
-            pl.BlockSpec((1, 1, d_pad), row_out),      # v row write
+            pl.BlockSpec((1, 8, d_pad), row_out),      # k row window
+            pl.BlockSpec((1, 8, d_pad), row_out),      # v row window
             pl.BlockSpec((1, 1, max_len), sm),         # k scales (RMW)
             pl.BlockSpec((1, 1, max_len), sm),         # v scales (RMW)
         ],

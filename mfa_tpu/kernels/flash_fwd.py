@@ -297,12 +297,17 @@ def _fwd_kernel(
     @pl.when(j == num_kv_blocks - 1)
     def _finalize():
         l_safe = jnp.maximum(l_scr[...], 1e-37)              # (bq, 1)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        # L = natural-log logsumexp = (m + log2 l) · ln2, broadcast to the
-        # lane-replicated (bq, LANES) output layout Mosaic wants for row
-        # vectors (reads back as a (bq, 1) column with no relayout in the
-        # backward kernels). The folded scale2 already sits inside m.
+        # Rows with NO visible keys (causal with R > C: row + offset < 0)
+        # never see a live column, so m stays at the init sentinel and
+        # every masked p contributes exp2(0)=1 — the accumulator holds a
+        # bogus mean of V. Emit the 0 convention for those rows (matches
+        # the oracle / FlashAttention), and a finite L=0 so the backward
+        # kernels' p = exp2(S_masked - L) underflows to exactly 0.
+        empty = m_scr[...] == MASK_VALUE                     # (bq, 1)
+        o_ref[0] = jnp.where(empty, 0.0,
+                             acc_scr[...] / l_safe).astype(o_ref.dtype)
         lse2 = m_scr[...] + jnp.log2(l_safe)                 # base-2 lse
+        lse2 = jnp.where(empty, 0.0, lse2)
         l_ref[0] = jnp.broadcast_to(lse2 * (1.0 / LOG2E), l_ref.shape[1:])
 
 
@@ -463,8 +468,11 @@ def _fwd_tablegrid_kernel(
     @pl.when(last_tab[g] == 1)
     def _finalize():
         l_safe = jnp.maximum(l_scr[...], 1e-37)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        lse2 = m_scr[...] + jnp.log2(l_safe)
+        # Empty-row convention — see _fwd_kernel._finalize.
+        empty = m_scr[...] == MASK_VALUE
+        o_ref[0] = jnp.where(empty, 0.0,
+                             acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse2 = jnp.where(empty, 0.0, m_scr[...] + jnp.log2(l_safe))
         l_ref[0] = jnp.broadcast_to(lse2 * (1.0 / LOG2E), l_ref.shape[1:])
 
 

@@ -118,7 +118,9 @@ def _paged_decode_kernel(
     @pl.when(j == pl.num_programs(1) - 1)
     def _finalize():
         l_safe = jnp.maximum(l_scr[...], 1e-37)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        empty = m_scr[...] == MASK_VALUE     # length-0 slot: emit zeros
+        o_ref[0] = jnp.where(empty, 0.0,
+                             acc_scr[...] / l_safe).astype(o_ref.dtype)
 
 
 def build_paged_decode(
