@@ -55,17 +55,33 @@ def _autotune_candidates(kd, m, n, k):
     (the reference probes exactly {48x48x24, 48x48x32} x async-store; the
     TPU block space is larger, so probe each axis around the heuristic).
     Per-candidate operand padding adapts to the blocks, so no divisibility
-    filter — excess padding simply loses the measurement."""
+    filter — excess padding simply loses the measurement.
+
+    Round-4 additions (the >=1488^3 gap vs XLA, MEASUREMENTS round 3):
+    whole-K blocks (no k grid axis: the accumulator never round-trips
+    through scratch between grid steps) and a wider output tile, both
+    VMEM-permitting."""
     lim = lambda b, dim: min(b, round_up(dim, 128))
-    seen, out = set(), []
-    for bm, bn, bk in (
+    k_whole = round_up(k, 128)
+    cands = [
         (kd.block_m, kd.block_n, kd.block_k),
         (kd.block_m, kd.block_n, kd.block_k * 2),
         (kd.block_m, kd.block_n, max(128, kd.block_k // 2)),
         (max(128, kd.block_m // 2), kd.block_n, kd.block_k),
         (kd.block_m, max(128, kd.block_n // 2), kd.block_k),
         (kd.block_m * 2, kd.block_n, kd.block_k),
-    ):
+    ]
+    # Whole-K variants: A/B blocks (bm x K) + (K x bn) bf16, double
+    # buffered, + fp32 acc must fit ~12 MiB of scoped VMEM.
+    for bm, bn in ((kd.block_m, kd.block_n),
+                   (kd.block_m * 2, kd.block_n * 2)):
+        bytes_needed = 2 * 2 * k_whole * (min(bm, round_up(m, 128))
+                                          + min(bn, round_up(n, 128))) + \
+            4 * min(bm, round_up(m, 128)) * min(bn, round_up(n, 128))
+        if bytes_needed < 12 * 2**20:
+            cands.append((bm, bn, k_whole))
+    seen, out = set(), []
+    for bm, bn, bk in cands:
         cand = (lim(bm, m), lim(bn, n), lim(bk, k))
         if cand in seen:
             continue
@@ -87,6 +103,25 @@ def _measure_dispatch(thunk, iters: int = 8):
         out = thunk()
     np.asarray(out.ravel()[0])
     return (time.perf_counter() - t0) / iters
+
+
+# Measured crossover to XLA's native matmul (docs/MEASUREMENTS.md round 4):
+# the single-level Pallas block loop matches XLA up to ~1024^3 (0.996 at
+# 512^3) but trails at >=1488^3 (0.78) — XLA's multi-level output tiling
+# wins there. Above this volume the dispatch concedes to jnp.matmul unless
+# the autotune hook has measured a Pallas config that actually beats it
+# (the hook includes XLA as a candidate and memoizes whichever wins).
+_XLA_CROSSOVER_VOLUME = 1152 ** 3
+
+
+def _xla_gemm(a, b, c0, transpose_a, transpose_b, out_dtype):
+    """Native-XLA path (the 'concede with evidence' branch)."""
+    aa = jnp.swapaxes(a, 1, 2) if transpose_a else a
+    bb = jnp.swapaxes(b, 1, 2) if transpose_b else b
+    y = jnp.matmul(aa, bb, preferred_element_type=jnp.float32)
+    if c0 is not None:
+        y = y + c0.astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def gemm(
@@ -140,7 +175,14 @@ def gemm(
     kd = desc.kernel_descriptor()
 
     if autotune_active() and not interpret:
-        kd = _autotuned_kd(kd, desc, a, b, c0, out_dtype)
+        sel = _autotuned_kd(kd, desc, a, b, c0, out_dtype)
+        if sel == "xla":
+            c = _xla_gemm(a, b, c0, transpose_a, transpose_b, out_dtype)
+            return c[0] if squeeze else c
+        kd = sel
+    elif not interpret and m * n * k >= _XLA_CROSSOVER_VOLUME:
+        c = _xla_gemm(a, b, c0, transpose_a, transpose_b, out_dtype)
+        return c[0] if squeeze else c
 
     c = _dispatch(kd, a, b, c0, out_dtype, interpret)[:, :m, :n]
     return c[0] if squeeze else c
@@ -194,6 +236,8 @@ def _autotuned_kd(kd, desc, a, b, c0, out_dtype, measure=None):
             hit = _tuned_blocks.get(cls_key)
         if hit is None:
             return kd
+        if hit == "xla":
+            return "xla"
         return dataclasses.replace(
             kd, block_m=hit[0], block_n=hit[1], block_k=hit[2])
 
@@ -215,9 +259,18 @@ def _autotuned_kd(kd, desc, a, b, c0, out_dtype, measure=None):
         if not owner:
             event.wait()
             continue
-        measure = measure or (
-            lambda cand_kd: _measure_dispatch(
-                lambda: _dispatch(cand_kd, a, b, c0, out_dtype, False)))
+        measure_xla = None
+        if measure is None:
+            measure = (
+                lambda cand_kd: _measure_dispatch(
+                    lambda: _dispatch(cand_kd, a, b, c0, out_dtype, False)))
+            # XLA's native matmul competes as a candidate: "matching or
+            # beating" means the dispatch must never ship a losing kernel
+            # (the >=1488^3 finding, MEASUREMENTS round 3/4).
+            measure_xla = (
+                lambda: _measure_dispatch(
+                    lambda: _xla_gemm(a, b, c0, desc.transpose_a,
+                                      desc.transpose_b, out_dtype)))
         best, best_t = (kd.block_m, kd.block_n, kd.block_k), None
         try:
             for bm, bn, bk in _autotune_candidates(kd, desc.m, desc.n,
@@ -233,14 +286,24 @@ def _autotuned_kd(kd, desc, a, b, c0, out_dtype, measure=None):
                 # Evict losing candidates' pipelines: only the winner's
                 # stays warm (the reference's autotune also discards the
                 # losing PSO variants).
+            if measure_xla is not None:
+                try:
+                    t = measure_xla()
+                    if best_t is None or t < best_t:
+                        best, best_t = "xla", t
+                except Exception:  # noqa: BLE001
+                    pass
             with _tuned_lock:
                 hit = _tuned_blocks.setdefault(cls_key, best)
-            _evict_losers(cls_key, desc, a, b, out_dtype, best)
+            if hit != "xla":
+                _evict_losers(cls_key, desc, a, b, out_dtype, hit)
         finally:
             with _tuned_lock:
                 _tuned_inflight.pop(cls_key, None)
             event.set()
         break
+    if hit == "xla":
+        return "xla"
     return dataclasses.replace(
         kd, block_m=hit[0], block_n=hit[1], block_k=hit[2])
 

@@ -217,7 +217,7 @@ def test_autotune_candidates_cover_heuristic_and_axes():
     cands = gemm_mod._autotune_candidates(kd, desc.m, desc.n, desc.k)
     assert (kd.block_m, kd.block_n, kd.block_k) in cands
     assert len(set(cands)) == len(cands)         # deduped
-    assert 2 <= len(cands) <= 6
+    assert 2 <= len(cands) <= 8
 
 
 def test_autotune_off_by_default(monkeypatch):
