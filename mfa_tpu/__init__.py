@@ -21,6 +21,11 @@ serving, and multi-host sharding over ICI meshes.
 __version__ = "0.1.0"
 
 from mfa_tpu.ops.attention import flash_attention, mha
+from mfa_tpu.ops.decode import (
+    decode_attention,
+    decode_attention_append,
+    paged_decode_attention,
+)
 from mfa_tpu.ops.descriptors import AttentionDescriptor, GEMMDescriptor
 from mfa_tpu.ops.gemm import gemm
 
@@ -28,6 +33,9 @@ __all__ = [
     "flash_attention",
     "mha",
     "gemm",
+    "decode_attention",
+    "decode_attention_append",
+    "paged_decode_attention",
     "AttentionDescriptor",
     "GEMMDescriptor",
 ]

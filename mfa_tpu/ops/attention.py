@@ -99,23 +99,105 @@ def _shape_key(desc: AttentionDescriptor, kd, q, k, cfg):
     )
 
 
+# ---------------------------------------------------------------------------
+# Dispatch-path autotune — the attention twin of ops/gemm.py's hook (the
+# reference autotunes transparently at register time for GEMM,
+# GEMMDescriptor+PipelineCache.swift:75-119; its attention tables are static
+# per architecture. Here BOTH get the hook: MFA_AUTOTUNE=1 measures a few
+# block-shape candidates around the table row on the first CONCRETE (eager)
+# dispatch of a shape class and memoizes the winner — it is the mechanism
+# that keeps the measured tables honest on a new chip generation. Inside a
+# jit trace nothing can be timed, so traced dispatches use the memo or fall
+# back to the table row.)
+# ---------------------------------------------------------------------------
+
+_attn_tuned: dict = {}
+
+
+def _attn_autotune_candidates(kd, desc):
+    import dataclasses
+
+    r_pad = round_up(desc.seq_len_q, 128)
+    c_pad = round_up(desc.seq_len_kv, 128)
+    lim_q = lambda b: max(128, min(b, r_pad))
+    lim_kv = lambda b: max(128, min(b, c_pad))
+    seen, out = set(), []
+    for bq, bkv in (
+        (kd.block_q, kd.block_kv),
+        (kd.block_q * 2, kd.block_kv),
+        (max(128, kd.block_q // 2), kd.block_kv),
+        (kd.block_q, kd.block_kv * 2),
+        (kd.block_q, max(128, kd.block_kv // 2)),
+    ):
+        cand = (lim_q(bq), lim_kv(bkv))
+        if cand in seen:
+            continue
+        seen.add(cand)
+        out.append(dataclasses.replace(kd, block_q=cand[0],
+                                       block_kv=cand[1]))
+    return out
+
+
+def _attn_autotuned_kd(kind, kd, desc, q, k, run_candidate):
+    """Resolve kd through the attention autotune memo; on a cold class at
+    CONCRETE dispatch, time each candidate via ``run_candidate(kd)`` and
+    memoize the winner's blocks."""
+    from mfa_tpu.ops.gemm import _measure_dispatch, autotune_active
+
+    if not autotune_active():
+        return kd
+    import dataclasses
+
+    cls_key = (kind, desc, str(q.dtype), str(k.dtype))
+    hit = _attn_tuned.get(cls_key)
+    if hit is not None:
+        return dataclasses.replace(kd, block_q=hit[0], block_kv=hit[1])
+    if isinstance(q, jax.core.Tracer):
+        return kd
+    best, best_t = (kd.block_q, kd.block_kv), None
+    for cand in _attn_autotune_candidates(kd, desc):
+        try:
+            t = _measure_dispatch(lambda: run_candidate(cand))
+        except Exception:  # noqa: BLE001 — candidate may not compile
+            continue
+        if best_t is None or t < best_t:
+            best, best_t = (cand.block_q, cand.block_kv), t
+    _attn_tuned[cls_key] = best
+    return dataclasses.replace(kd, block_q=best[0], block_kv=best[1])
+
+
 def _get_fwd(desc, kd, q, k, o_dtype, cfg):
     b, hq, hkv = desc.batch, desc.num_q_heads, desc.num_kv_heads
     d_pad = round_up(desc.head_dim, 128)
-    build = functools.partial(
-        flash_fwd.build_fwd,
-        kd,
-        batch_heads=b * hq,
-        kv_batch_heads=b * hkv,
-        seq_len_q=desc.seq_len_q,
-        seq_len_kv=desc.seq_len_kv,
-        d_pad=d_pad,
-        scale=desc.softmax_scale,
-        q_dtype=q.dtype,
-        kv_dtype=k.dtype,
-        o_dtype=o_dtype,
-        interpret=cfg.interpret,
-    )
+
+    def build_for(kdx):
+        return functools.partial(
+            flash_fwd.build_fwd,
+            kdx,
+            batch_heads=b * hq,
+            kv_batch_heads=b * hkv,
+            seq_len_q=desc.seq_len_q,
+            seq_len_kv=desc.seq_len_kv,
+            d_pad=d_pad,
+            scale=desc.softmax_scale,
+            q_dtype=q.dtype,
+            kv_dtype=k.dtype,
+            o_dtype=o_dtype,
+            interpret=cfg.interpret,
+        )
+
+    if not cfg.interpret:
+        def run_candidate(kdx, _q=q):
+            r_pad = round_up(desc.seq_len_q, kdx.block_q)
+            c_pad = round_up(desc.seq_len_kv, kdx.block_kv)
+            fn = build_for(kdx)()
+            return fn(_repad(_fold(q), r_pad, d_pad),
+                      _repad(_fold(k), c_pad, d_pad),
+                      _repad(_fold(k), c_pad, d_pad))[0]
+
+        kd = _attn_autotuned_kd("fwd", kd, desc, q, k, run_candidate)
+
+    build = build_for(kd)
     key = ("fwd", _shape_key(desc, kd, q, k, cfg), str(o_dtype))
     return attention_cache.get_pipeline(key, key, build, lambda kern: kern)
 

@@ -39,10 +39,14 @@ from mfa_tpu.ops.precision import (
 )
 
 # Causal schedule default + bench override (scripts/bench_train.py --mode).
-# "blockskip" is the round-3 measured winner of {skip, dense, blockskip};
-# round-4 adds "tablegrid" (compressed live-pair grid) — the default is
-# flipped there once the chip A/B confirms it.
-_CAUSAL_MODE_DEFAULT = "blockskip"
+# "tablegrid" (compressed live-pair grid via scalar prefetch) measured
+# 0.528 vs blockskip's 0.517 at D=128 N=4096 (round-4 sweep,
+# scripts/ab_causal_blocks.py) and is structurally cleaner (no dead grid
+# steps at all). The round-4 block sweep also showed the per-grid-step
+# overhead (~2 us) makes SMALLER traversal blocks strictly worse (bkv=512:
+# 0.356), so the diagonal over-compute (~1 + bkv/N) is irreducible at this
+# design point — see docs/MEASUREMENTS.md round 4.
+_CAUSAL_MODE_DEFAULT = "tablegrid"
 _causal_mode_override: str | None = None
 
 

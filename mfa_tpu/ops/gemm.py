@@ -90,19 +90,28 @@ def _autotune_candidates(kd, m, n, k):
     return out
 
 
-def _measure_dispatch(thunk, iters: int = 8):
-    """Cheap on-dispatch timing: warm up (compile), then wall-clock a short
-    run with a host readback as the completion barrier (the tunnel acks
-    block_until_ready at enqueue)."""
+def _measure_dispatch(thunk, iters: int = 8, min_window_s: float = 0.08):
+    """On-dispatch timing: warm up (compile), then wall-clock a run with a
+    host readback as the completion barrier (the tunnel acks
+    block_until_ready at enqueue). Self-calibrates the batch size until the
+    window dominates the ~30 ms tunnel sync jitter — without this, a
+    microsecond-class kernel (512^3 GEMM ≈ 1.5 us) measures pure noise and
+    the candidate search picks randomly (round-4 bench_gemm post-mortem)."""
     import numpy as np
 
     out = thunk()
     np.asarray(out.ravel()[0])           # sync after compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = thunk()
-    np.asarray(out.ravel()[0])
-    return (time.perf_counter() - t0) / iters
+    for _ in range(6):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = thunk()
+        np.asarray(out.ravel()[0])
+        dt = time.perf_counter() - t0
+        if dt >= min_window_s or iters >= 4096:
+            return dt / iters
+        iters = min(max(int(iters * min_window_s / max(dt, 1e-5) * 1.5),
+                        iters * 2), 4096)
+    return dt / iters
 
 
 # Measured crossover to XLA's native matmul (docs/MEASUREMENTS.md round 4):

@@ -56,7 +56,9 @@ def bench_transpose_states(size: int, gen):
                 key = next((k for k in gemm_mod._tuned_blocks
                             if k[7] == ta and k[8] == tb and k[0] == size),
                            None)
-                blocks = list(gemm_mod._tuned_blocks.get(key, ())) if key else None
+                blocks = gemm_mod._tuned_blocks.get(key) if key else None
+                if blocks is not None and blocks != "xla":
+                    blocks = list(blocks)
                 state = f"{'T' if ta else 'N'}{'T' if tb else 'N'}"
                 out[state] = {"tflops": round(res.tflops, 1),
                               "autotuned_blocks": blocks}
