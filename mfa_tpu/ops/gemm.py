@@ -115,22 +115,46 @@ def _measure_dispatch(thunk, iters: int = 8, min_window_s: float = 0.08):
 
 
 # Measured crossover to XLA's native matmul (docs/MEASUREMENTS.md round 4):
-# the single-level Pallas block loop matches XLA up to ~1024^3 (0.996 at
-# 512^3) but trails at >=1488^3 (0.78) — XLA's multi-level output tiling
-# wins there. Above this volume the dispatch concedes to jnp.matmul unless
-# the autotune hook has measured a Pallas config that actually beats it
-# (the hook includes XLA as a candidate and memoizes whichever wins).
+# the single-level Pallas block loop matches XLA at small sizes for the
+# NN/NT states (512^3 default path: 170.2/169.4 vs XLA 170.2 TF/s) but
+# trails at >=1488^3 (0.78 — XLA's multi-level output tiling wins) and on
+# transpose_a states at every size (TN/TT 512^3: 154 TF/s, 0.91 of XLA —
+# the transposed-A block loads fight Mosaic's preferred layout). The
+# dispatch concedes those classes to jnp.matmul ("matching or beating":
+# never ship a measured loser) unless the autotune hook has measured a
+# Pallas config that actually wins for the exact class.
 _XLA_CROSSOVER_VOLUME = 1152 ** 3
 
 
-def _xla_gemm(a, b, c0, transpose_a, transpose_b, out_dtype):
-    """Native-XLA path (the 'concede with evidence' branch)."""
+def _default_prefers_xla(m, n, k, transpose_a):
+    return transpose_a or m * n * k >= _XLA_CROSSOVER_VOLUME
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _xla_gemm_jit(a, b, transpose_a, transpose_b, out_dtype):
     aa = jnp.swapaxes(a, 1, 2) if transpose_a else a
     bb = jnp.swapaxes(b, 1, 2) if transpose_b else b
     y = jnp.matmul(aa, bb, preferred_element_type=jnp.float32)
-    if c0 is not None:
-        y = y + c0.astype(jnp.float32)
     return y.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _xla_gemm_acc_jit(a, b, c0, transpose_a, transpose_b, out_dtype):
+    aa = jnp.swapaxes(a, 1, 2) if transpose_a else a
+    bb = jnp.swapaxes(b, 1, 2) if transpose_b else b
+    y = jnp.matmul(aa, bb, preferred_element_type=jnp.float32)
+    return (y + c0.astype(jnp.float32)).astype(out_dtype)
+
+
+def _xla_gemm(a, b, c0, transpose_a, transpose_b, out_dtype):
+    """Native-XLA path (the 'concede with evidence' branch). Jitted so the
+    transpose states fuse into the matmul — an EAGER swapaxes materializes
+    a copy and loses the measurement unfairly (round-4 bench_gemm TN/TT
+    post-mortem); inside a caller's jit trace the inner jit inlines."""
+    dt = jnp.dtype(out_dtype)
+    if c0 is None:
+        return _xla_gemm_jit(a, b, transpose_a, transpose_b, dt)
+    return _xla_gemm_acc_jit(a, b, c0, transpose_a, transpose_b, dt)
 
 
 def gemm(
@@ -189,7 +213,7 @@ def gemm(
             c = _xla_gemm(a, b, c0, transpose_a, transpose_b, out_dtype)
             return c[0] if squeeze else c
         kd = sel
-    elif not interpret and m * n * k >= _XLA_CROSSOVER_VOLUME:
+    elif not interpret and _default_prefers_xla(m, n, k, transpose_a):
         c = _xla_gemm(a, b, c0, transpose_a, transpose_b, out_dtype)
         return c[0] if squeeze else c
 

@@ -86,16 +86,19 @@ def main():
     def contig_step(carry):
         caches, o = carry
         for c in caches:
-            o = decode_attention(o, c, interpret=False).astype(jnp.bfloat16)
+            o = decode_attention(o, c).astype(jnp.bfloat16)
         return (caches, o)
 
     res_c = measure_chained(contig_step, (contig, q0), 1, 0, generation=gen)
     t_c = report("contiguous", res_c)
 
-    # Paged path: tables/lengths are host state; jit over pool arrays.
+    # Paged path: tables/lengths/pools ride the jit carry; max_pages is
+    # STATIC metadata and must stay out of it (a carried int becomes a
+    # tracer and would poison the dispatch cache key).
     views = [(jnp.asarray(pc.page_tables),
-              jnp.asarray(pc.lengths, jnp.int32), pc.pool, pc.max_pages)
+              jnp.asarray(pc.lengths, jnp.int32), pc.pool)
              for pc in paged]
+    max_pages_static = [pc.max_pages for pc in paged]
 
     class V:
         def __init__(self, pool, max_pages, t, ln):
@@ -107,9 +110,9 @@ def main():
 
     def paged_step(carry):
         views_, o = carry
-        for (t, ln, pool, mp) in views_:
+        for li, (t, ln, pool) in enumerate(views_):
             o = paged_decode_attention(
-                o, V(pool, mp, t, ln), interpret=False).astype(jnp.bfloat16)
+                o, V(pool, max_pages_static[li], t, ln)).astype(jnp.bfloat16)
         return (views_, o)
 
     res_p = measure_chained(paged_step, (views, q0), 1, 0, generation=gen)

@@ -137,3 +137,20 @@ def test_fused_append_matches_update(rng, precision):
     tol = 2e-2 if precision is OperandPrecision.BF16 else 6e-2
     assert_close(np.asarray(o_fused, np.float32),
                  np.asarray(o_two, np.float32), tol, "fused O")
+
+
+def test_decode_fp8_e5m2_cache(rng):
+    """e5m2 KV storage path (gradient-format fp8; the bit-twiddle widening
+    covers both fp8 layouts — kernels/decode.fp8_to_bf16)."""
+    b, hq, hkv, d, max_len = 1, 4, 2, 64, 256
+    cache, _, _ = _fill_cache(rng, b, hkv, [200], max_len, d,
+                              OperandPrecision.FP8_E5M2)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    o = decode_attention(q, cache)
+    kdq, vdq = cache.dequant()
+    want, _ = attention_reference(
+        np.asarray(q, np.float32)[:, :, None, :],
+        np.asarray(kdq)[..., :d][:, :, :200],
+        np.asarray(vdq)[..., :d][:, :, :200])
+    assert_close(np.asarray(o, np.float32)[:, :, None, :], want, 6e-2,
+                 "decode O e5m2")
