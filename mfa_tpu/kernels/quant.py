@@ -100,3 +100,42 @@ def unpack_int4(packed):
 
 def dequantize_int4(packed, scales, dtype=jnp.float32):
     return (unpack_int4(packed).astype(jnp.float32) * scales).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Half-split INT4 weight packing + fused dequant matmul (round 4)
+# ---------------------------------------------------------------------------
+
+
+def pack_int4_halves(w, axis_scale: int = 0):
+    """Weight-only INT4 in HALF-SPLIT layout: byte[i, o] holds w[i, o] in
+    the low nibble and w[i + K/2, o] in the high nibble (K = contraction
+    dim). Unlike nibble-interleaved packing, unpacking produces two full
+    contiguous row-halves — NO sublane/lane interleave — so a Pallas kernel
+    dequantizes a (bk/2, bn) packed block into two (bk/2, bn) operand tiles
+    with pure elementwise shifts and feeds the MXU directly. (The
+    interleaved layout forced a full-weight HBM materialization through
+    XLA: the round-4 INT4 decode bench measured 34 tok/s, 0.035 of SoL.)
+
+    w: [K, N] float → (packed [K/2, N] int8, scale [1, N] f32) with
+    per-output-channel scales over the contraction axis.
+    """
+    wf = w.astype(jnp.float32)
+    k = wf.shape[0]
+    if k % 2 != 0:
+        raise ValueError(f"half-split int4 needs even contraction dim, "
+                         f"got {wf.shape}")
+    amax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / INT4_MAX
+    q = jnp.clip(jnp.round(wf / scale), -INT4_MAX, INT4_MAX).astype(jnp.int8)
+    lo = q[: k // 2] & 0x0F
+    hi = (q[k // 2 :] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8), scale
+
+
+def unpack_int4_halves(packed):
+    """[K/2, N] int8 → (low_half [K/2, N], high_half [K/2, N]) int8 in
+    [-7, 7] (rows 0..K/2-1 and K/2..K-1 of the logical weight)."""
+    lo = ((packed << 4).astype(jnp.int8)) >> 4        # sign-extend
+    hi = packed >> 4                                   # arithmetic shift
+    return lo, hi

@@ -1,0 +1,135 @@
+"""Fused INT4-weight dequant matmul: y = x @ unpack(W_packed) * scale.
+
+The weight-streaming kernel BASELINE config 5 needs (INT4 weights + FP8
+KV): decode projections are HBM-bound on the WEIGHT stream, so the packed
+int4 bytes must go HBM→VMEM at 4-bit rate and dequantize per block inside
+the kernel. XLA cannot do this with the generic unpack formulation — the
+gather/interleave materializes the full unpacked weight through HBM
+(round-4 bench: 34 tok/s at 8B, 0.035 of SoL).
+
+Layout: half-split packing (kernels/quant.pack_int4_halves) — byte[i, o]
+holds logical rows i (low nibble) and i + K/2 (high nibble), so a packed
+(bk, bn) block unpacks into two full (bk, bn) int8 tiles with elementwise
+shifts (VPU) and feeds two MXU contractions against the matching x column
+halves. Per-output-channel scales apply once in the epilogue.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _qmm_kernel(x_lo_ref, x_hi_ref, w_ref, scale_ref, o_ref, acc,
+                *, num_k_blocks: int, compute_dtype):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    # int32 intermediates: Mosaic's int8 shift lowering fails to compile
+    # (round-4 finding; same workaround as the fp8 bit-twiddle). The byte
+    # sign-extends on widening, so the high nibble is an arithmetic >> 4
+    # and the low nibble a << 28 >> 28 round trip.
+    w32 = w_ref[...].astype(jnp.int32)              # (bk, bn) packed bytes
+    w_lo = ((w32 << 28) >> 28).astype(compute_dtype)
+    w_hi = (w32 >> 4).astype(compute_dtype)
+    acc[...] += jax.lax.dot_general(
+        x_lo_ref[...], w_lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc[...] += jax.lax.dot_general(
+        x_hi_ref[...], w_hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kk == num_k_blocks - 1)
+    def _store():
+        o_ref[...] = (acc[...] * scale_ref[...]).astype(o_ref.dtype)
+
+
+def build_int4_matmul(*, m: int, k: int, n: int, block_m: int, block_n: int,
+                      block_k: int, x_dtype, o_dtype,
+                      interpret: bool = False):
+    """y [m, n] = x [m, k] @ W (packed [k/2, n] int8, scale [1, n] f32).
+
+    ``block_k`` tiles the PACKED row dim (k/2); x is pre-split into its two
+    column halves by the wrapper so each grid step contracts x[:, kb-half]
+    slices against the unpacked tiles.
+    """
+    kp = k // 2
+    num_m = -(-m // block_m)
+    num_n = -(-n // block_n)
+    num_k = -(-kp // block_k)
+    compute_dtype = (jnp.bfloat16 if jnp.dtype(x_dtype) == jnp.bfloat16
+                     else jnp.float32)
+
+    kernel = functools.partial(_qmm_kernel, num_k_blocks=num_k,
+                               compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_m, num_n, num_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((num_m * block_m, num_n * block_n),
+                                       o_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=kp * n + m * k * jnp.dtype(x_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
+def int4_matmul(x, packed, scale, *, interpret: bool | None = None,
+                block_m: int = 256, block_n: int = 512, block_k: int = 512):
+    """Public fused int4 matmul. x [..., K]; packed [K/2, N]; scale [1, N].
+
+    Leading x dims are flattened to rows; returns [..., N] in x.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    *lead, k = x.shape
+    kp, n = packed.shape
+    if kp * 2 != k:
+        raise ValueError(f"packed rows {kp} != K/2 for K={k}")
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+    x_lo = x2[:, : k // 2]
+    x_hi = x2[:, k // 2 :]
+
+    bm = min(block_m, max(8, -(-m // 8) * 8))
+    bn = min(block_n, n)
+    bk = min(block_k, kp)
+    m_pad = -(-m // bm) * bm
+    kp_pad = -(-kp // bk) * bk
+    n_pad = -(-n // bn) * bn
+    if m_pad != m or kp_pad != kp:
+        x_lo = jnp.pad(x_lo, ((0, m_pad - m), (0, kp_pad - kp)))
+        x_hi = jnp.pad(x_hi, ((0, m_pad - m), (0, kp_pad - kp)))
+    wp = packed
+    sc = scale
+    if kp_pad != kp or n_pad != n:
+        wp = jnp.pad(wp, ((0, kp_pad - kp), (0, n_pad - n)))
+        sc = jnp.pad(sc, ((0, 0), (0, n_pad - n)))
+
+    fn = build_int4_matmul(
+        m=m_pad, k=2 * kp_pad, n=n_pad, block_m=bm, block_n=bn, block_k=bk,
+        x_dtype=x.dtype, o_dtype=x.dtype, interpret=interpret)
+    y = fn(x_lo, x_hi, wp, sc)[:m, :n]
+    return y.reshape(*lead, n)

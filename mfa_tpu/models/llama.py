@@ -140,8 +140,9 @@ def init_params_quantized(key, cfg: LlamaConfig,
         if int8:
             vals, scale = quant.quantize_int8(wf.T, axis=-1)
             return vals.T, scale.T
-        vals, scale = quant.quantize_int4(wf.T, axis=-1)
-        return vals, scale
+        # Half-split packing: streams at 4-bit rate through the fused
+        # Pallas dequant matmul (kernels/quant_matmul.py).
+        return quant.pack_int4_halves(wf)
 
     # One compiled function covers every layer (identical shapes): a single
     # compile + n_layers dispatches instead of 7·n_layers per-tensor
@@ -195,8 +196,13 @@ def quantize_params(params, precision: OperandPrecision):
             vals, scale = quant.quantize_int8(wf.T, axis=-1)
             # store transposed back: vals [out, in] → [in, out]
             return quant.QuantizedWeight(vals.T, scale.T, "int8")
-        vals, scale = quant.quantize_int4(wf.T, axis=-1)
-        return quant.QuantizedWeight(vals, scale, "int4")  # [out, in/2]
+        # INT4: half-split packed [in/2, out] + scale [1, out] — the layout
+        # the fused Pallas dequant matmul consumes at 4-bit HBM rate
+        # (kernels/quant_matmul.py; the nibble-interleaved [out, in/2]
+        # layout forced a full-weight dequant through HBM — 34 tok/s at 8B,
+        # round-4 post-mortem).
+        vals, scale = quant.pack_int4_halves(wf)
+        return quant.QuantizedWeight(vals, scale, "int4")  # [in/2, out]
 
     out = dict(params)
     out["layers"] = []
@@ -220,9 +226,9 @@ def _matmul(x, w, dtype):
                         preferred_element_type=jnp.float32)
             return (y * w.scale.astype(jnp.float32)).astype(dtype)
         if w.kind == "int4":
-            wt = quant.unpack_int4(w.w).astype(jnp.float32) * w.scale
-            return jnp.dot(x, wt.T.astype(dtype),
-                           preferred_element_type=jnp.float32).astype(dtype)
+            from mfa_tpu.kernels.quant_matmul import int4_matmul
+
+            return int4_matmul(x, w.w, w.scale).astype(dtype)
         raise ValueError(w.kind)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(dtype)
 

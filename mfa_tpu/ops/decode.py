@@ -123,7 +123,6 @@ def paged_decode_attention(
     masked. Returns [num_seqs, Hq, head_dim] in q.dtype.
     """
     from mfa_tpu.kernels import paged_decode as paged_kernel
-    from mfa_tpu.serving.paged_kv_cache import PAGE_SIZE
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -147,6 +146,7 @@ def paged_decode_attention(
     q3 = qs
 
     key = ("paged_decode", b, hkv, group, cache.max_pages, d_pad,
+           pool.k_pages.shape[2],
            str(pool.k_pages.dtype), str(q.dtype), pool.precision.value,
            sliding_window, interpret)
     build = functools.partial(
@@ -155,7 +155,7 @@ def paged_decode_attention(
         num_kv_heads=hkv,
         group=group,
         max_pages=cache.max_pages,
-        page_size=PAGE_SIZE,
+        page_size=pool.k_pages.shape[2],
         d_pad=d_pad,
         kv_dtype=pool.k_pages.dtype,
         q_dtype=q.dtype,

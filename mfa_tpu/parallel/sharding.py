@@ -41,7 +41,7 @@ def param_specs(params) -> dict:
         }
         # Quantized weights (QuantizedWeight pytree) have per-kind
         # storage layouts: int8 keeps w [in, out] with scale [1, out];
-        # int4 packs w [out, in/2] with scale [out, 1].
+        # int4 is half-split packed [in/2, out] with scale [1, out].
         from mfa_tpu.kernels.quant import QuantizedWeight
 
         out = {}
@@ -52,9 +52,23 @@ def param_specs(params) -> dict:
                 if w.kind == "int8":
                     w_spec = col if is_col else row
                     s_spec = P(None, "tp") if is_col else rep
-                else:  # int4
-                    w_spec = P("tp", None) if is_col else P(None, "tp")
-                    s_spec = P("tp", None) if is_col else rep
+                else:  # int4, half-split packed [in/2, out] layout
+                    # Column-parallel: out axis shards cleanly. Row-parallel
+                    # CANNOT shard the packed contraction dim (byte i holds
+                    # logical rows i and i+K/2 — a contiguous packed-row
+                    # shard is a non-contiguous logical shard that no local
+                    # activation slice matches). INT4 row-parallel weights
+                    # under TP need per-shard packing, which the global
+                    # pack layout does not express — fail loudly rather
+                    # than mis-shard (INT4 is the single-chip config-5
+                    # path; use INT8 weights for TP serving).
+                    if not is_col:
+                        raise NotImplementedError(
+                            "INT4 half-split weights cannot be row-"
+                            "parallel-sharded (wo/w_down under tp); use "
+                            "INT8 weights for tensor-parallel serving")
+                    w_spec = P(None, "tp")
+                    s_spec = P(None, "tp")
                 out[name] = QuantizedWeight(w_spec, s_spec, w.kind)
             else:
                 out[name] = s

@@ -34,6 +34,12 @@ from mfa_tpu.ops.descriptors import round_up
 from mfa_tpu.ops.precision import OperandPrecision
 from mfa_tpu.serving.kv_cache import _quantize_for
 
+# Default page granularity. 128 rows is the Mosaic lane quantum; LARGER
+# pages trade internal fragmentation (<= page_size-1 tokens per sequence)
+# for fewer, bigger page-gather DMA steps — the round-4 TPU bench measured
+# the paged kernel at 2.3-2.9x contiguous latency at 128-token pages
+# (per-grid-step overhead over ~128 KiB gathers); 512-token pages close
+# most of that (docs/sweeps/paged_bench.jsonl).
 PAGE_SIZE = 128
 
 
@@ -68,20 +74,25 @@ class PagedKVCache:
 
     def __init__(self, num_pages: int, num_kv_heads: int, head_dim: int,
                  num_seqs: int, max_len: int,
-                 precision: OperandPrecision = OperandPrecision.BF16):
+                 precision: OperandPrecision = OperandPrecision.BF16,
+                 page_size: int = PAGE_SIZE):
+        if page_size % 128 != 0:
+            raise ValueError(f"page_size must be a multiple of 128 "
+                             f"(got {page_size})")
+        self.page_size = page_size
         d_pad = round_up(head_dim, 128)
         dtype = precision.dtype
-        shape = (num_pages, num_kv_heads, PAGE_SIZE, d_pad)
+        shape = (num_pages, num_kv_heads, page_size, d_pad)
         self.pool = PagePool(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(shape, dtype),
-            k_scale=jnp.ones((num_pages, num_kv_heads, 1, PAGE_SIZE),
+            k_scale=jnp.ones((num_pages, num_kv_heads, 1, page_size),
                              jnp.float32),
-            v_scale=jnp.ones((num_pages, num_kv_heads, 1, PAGE_SIZE),
+            v_scale=jnp.ones((num_pages, num_kv_heads, 1, page_size),
                              jnp.float32),
             precision=precision,
         )
-        self.max_pages = round_up(max_len, PAGE_SIZE) // PAGE_SIZE
+        self.max_pages = round_up(max_len, page_size) // page_size
         # Page 0 is reserved as the null page (tables point at it for
         # unallocated entries; kernel masks by length so it's never read
         # meaningfully).
@@ -92,13 +103,15 @@ class PagedKVCache:
     # -- allocation -------------------------------------------------------
 
     def pages_in_use(self, seq: int) -> int:
-        return (int(self.lengths[seq]) + PAGE_SIZE - 1) // PAGE_SIZE
+        ps = self.page_size
+        return (int(self.lengths[seq]) + ps - 1) // ps
 
     def _ensure_capacity(self, seq: int, new_len: int):
-        need = (new_len + PAGE_SIZE - 1) // PAGE_SIZE
+        ps = self.page_size
+        need = (new_len + ps - 1) // ps
         if need > self.max_pages:
             raise ValueError(f"sequence {seq} exceeds max_len "
-                             f"({new_len} > {self.max_pages * PAGE_SIZE})")
+                             f"({new_len} > {self.max_pages * ps})")
         have = self.pages_in_use(seq)
         for i in range(have, need):
             if not self._free:
@@ -139,9 +152,10 @@ class PagedKVCache:
         off = 0
         while off < t:
             pos = start + off
-            page_idx = int(self.page_tables[seq, pos // PAGE_SIZE])
-            in_page = pos % PAGE_SIZE
-            n = min(PAGE_SIZE - in_page, t - off)
+            ps = self.page_size
+            page_idx = int(self.page_tables[seq, pos // ps])
+            in_page = pos % ps
+            n = min(ps - in_page, t - off)
             upd = lambda buf, new: buf.at[page_idx, :, in_page:in_page + n].set(
                 new[:, off:off + n])
             upd_s = lambda buf, new: buf.at[
@@ -166,10 +180,11 @@ class PagedKVCache:
         assert int(self.lengths[seq]) == 0, "splice_prefill needs a fresh seq"
         hkv, t, d = k_new.shape
         self._ensure_capacity(seq, t)
-        n_pages = (t + PAGE_SIZE - 1) // PAGE_SIZE
+        ps = self.page_size
+        n_pages = (t + ps - 1) // ps
         page_ids = jnp.asarray(self.page_tables[seq, :n_pages], jnp.int32)
         d_pad = self.pool.head_dim_padded
-        t_pad = n_pages * PAGE_SIZE
+        t_pad = n_pages * ps
         pad = ((0, 0), (0, t_pad - t), (0, d_pad - d))
         self.pool = splice_pages(
             self.pool, page_ids, jnp.pad(k_new, pad), jnp.pad(v_new, pad))
@@ -197,16 +212,18 @@ def splice_pages(pool: PagePool, page_ids, k_new, v_new) -> PagePool:
     kq, ks = _quantize_for(pool.precision, k_new)
     vq, vs = _quantize_for(pool.precision, v_new)
 
+    ps = pool.k_pages.shape[2]      # page size from the pool layout
+
     def to_pages(x):
         # [Hkv, n*PAGE, ...] → [n, Hkv, PAGE, ...] (page-major like the pool)
         hkv, tp = x.shape[0], x.shape[1]
-        x = x.reshape((hkv, tp // PAGE_SIZE, PAGE_SIZE) + x.shape[2:])
+        x = x.reshape((hkv, tp // ps, ps) + x.shape[2:])
         return jnp.swapaxes(x, 0, 1)
 
     def to_scale_pages(x):
         # [Hkv, n*PAGE, 1] → [n, Hkv, 1, PAGE] (lane-contiguous scales)
         hkv, tp = x.shape[0], x.shape[1]
-        x = x[..., 0].reshape(hkv, tp // PAGE_SIZE, PAGE_SIZE)
+        x = x[..., 0].reshape(hkv, tp // ps, ps)
         return jnp.swapaxes(x, 0, 1)[:, :, None, :]
 
     return replace(

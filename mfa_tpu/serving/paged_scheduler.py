@@ -33,6 +33,8 @@ from mfa_tpu.serving.paged_kv_cache import (
     PagedKVCache,
     splice_pages,
 )
+
+__all__ = ["PagedScheduler", "PAGE_SIZE"]
 from mfa_tpu.serving.sampling import sample
 from mfa_tpu.serving.scheduler import Completion, Request, _bucket
 
@@ -43,8 +45,9 @@ def _append_token_batch(pool, tables, lengths, k_new, v_new):
     tables [B, max_pages] int32; lengths [B] int32 (lengths BEFORE the
     append); k_new/v_new [B, Hkv, d_pad]. Returns the updated pool.
     """
-    page_slot = lengths // PAGE_SIZE                       # [B]
-    in_page = lengths % PAGE_SIZE                          # [B]
+    ps = pool.k_pages.shape[2]
+    page_slot = lengths // ps                              # [B]
+    in_page = lengths % ps                                 # [B]
     pages = jnp.take_along_axis(tables, page_slot[:, None], axis=1)[:, 0]
 
     kq, ks = _quantize_for(pool.precision, k_new[:, :, None, :])
@@ -89,7 +92,8 @@ class PagedScheduler:
                  max_len: int = 2048,
                  kv_precision: OperandPrecision = OperandPrecision.BF16,
                  prompt_buckets=(64, 128, 256, 512, 1024, 2048),
-                 temperature: float = 0.0, seed: int = 0):
+                 temperature: float = 0.0, seed: int = 0,
+                 page_size: int = PAGE_SIZE):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -102,7 +106,8 @@ class PagedScheduler:
 
         self.caches = [
             PagedKVCache(num_pages, cfg.n_kv_heads, cfg.head_dim,
-                         num_slots, max_len, kv_precision)
+                         num_slots, max_len, kv_precision,
+                         page_size=page_size)
             for _ in range(cfg.n_layers)
         ]
         self.queue: list[Request] = []
@@ -186,7 +191,8 @@ class PagedScheduler:
         return self._prefill_fns[bucket]
 
     def _pages_needed(self, tokens: int) -> int:
-        return (tokens + PAGE_SIZE - 1) // PAGE_SIZE
+        ps = self.caches[0].page_size
+        return (tokens + ps - 1) // ps
 
     def _splice_prefill_all(self, slot: int, t: int, caches1):
         """Write a prefill's K/V into the page pools of ALL layers with ONE
@@ -197,7 +203,7 @@ class PagedScheduler:
         Host side only assigns page ids; ``splice_pages`` does the writes.
         """
         n_pages = self._pages_needed(t)
-        t_pad = n_pages * PAGE_SIZE
+        t_pad = n_pages * self.caches[0].page_size
         page_ids = []
         for c in self.caches:
             c._ensure_capacity(slot, t)

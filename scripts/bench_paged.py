@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--kv", default="fp8", choices=["fp8", "int8", "bf16"])
     ap.add_argument("--layers", type=int, default=8,
                     help="distinct caches chained per iteration")
+    ap.add_argument("--page", type=int, default=128,
+                    help="page size in tokens (multiple of 128)")
     args = ap.parse_args()
 
     gen = detect_generation()
@@ -61,8 +63,10 @@ def main():
     # Paged caches: pool sized for the batch, prompts spliced per sequence.
     paged = []
     for _ in range(args.layers):
-        pc = PagedKVCache(args.batch * ((args.ctx + 64) // 128 + 1) + 1,
-                          args.hkv, args.d, args.batch, args.ctx + 64, prec)
+        pc = PagedKVCache(
+            args.batch * ((args.ctx + 64) // args.page + 1) + 1,
+            args.hkv, args.d, args.batch, args.ctx + 64, prec,
+            page_size=args.page)
         for s in range(args.batch):
             k = jnp.asarray(rng.standard_normal(
                 (args.hkv, args.ctx, args.d)) * 0.3, jnp.bfloat16)
@@ -121,7 +125,7 @@ def main():
     ratio = t_p / t_c
     print(f"  paged / contiguous latency = {ratio:.3f}x", flush=True)
     rec = {"kv": args.kv, "batch": args.batch, "hkv": args.hkv,
-           "ctx": args.ctx, "d": args.d,
+           "ctx": args.ctx, "d": args.d, "page": args.page,
            "contig_us_layer": round(t_c * 1e6, 1),
            "paged_us_layer": round(t_p * 1e6, 1),
            "ratio": round(ratio, 3),
