@@ -57,7 +57,16 @@ def _auto_interpret() -> bool:
 def _descriptor(q, k, v, cfg: _AttnConfig) -> AttentionDescriptor:
     b, hq, r, d = q.shape
     _, hkv, c, _ = k.shape
-    low = q.dtype in (jnp.bfloat16, jnp.float16)
+    if q.dtype == jnp.float16:
+        # Measured round 4: fp16 attention kernels fail Mosaic compilation
+        # on v5e (no fp16 MXU datapath — the reference's FP16 tables are
+        # Apple-native, AttentionDescriptor+Parameters.swift). BF16 is
+        # TPU's native 16-bit format; refuse rather than silently re-round.
+        raise TypeError(
+            "float16 inputs are not supported on TPU (no fp16 MXU "
+            "datapath; the kernel fails Mosaic compilation) — cast to "
+            "bfloat16, TPU's native 16-bit format")
+    low = q.dtype == jnp.bfloat16
     lpi = (cfg.low_precision_intermediates
            if cfg.low_precision_intermediates is not None else low)
     return AttentionDescriptor(

@@ -204,3 +204,12 @@ def test_attention_dispatch_autotune_memoizes(rng):
     finally:
         gemm_mod.set_autotune(None)
         attn_mod._attn_tuned.clear()
+
+
+def test_fp16_inputs_rejected(rng):
+    """fp16 has no MXU datapath on TPU (round-4 probe: Mosaic compile
+    fails); the public API refuses with guidance instead of silently
+    re-rounding through bf16."""
+    q = jnp.zeros((1, 1, 8, 8), jnp.float16)
+    with pytest.raises(TypeError, match="bfloat16"):
+        flash_attention(q, q, q, interpret=True)
