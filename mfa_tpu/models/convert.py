@@ -1,4 +1,4 @@
-"""Hugging Face Llama/Mistral checkpoint conversion.
+"""Hugging Face Llama/Mistral/Qwen2 checkpoint conversion.
 
 Maps a ``transformers`` Llama-architecture state dict onto the mfa_tpu
 param pytree (models/llama.py layout), so real released weights load
@@ -32,6 +32,9 @@ def config_from_hf(hf_config) -> LlamaConfig:
         norm_eps=hf_config.rms_norm_eps,
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         sliding_window=getattr(hf_config, "sliding_window", None),
+        # Llama exposes attention_bias; Qwen2 always uses QKV bias.
+        qkv_bias=bool(getattr(hf_config, "attention_bias", False)
+                      or getattr(hf_config, "model_type", "") == "qwen2"),
     )
 
 
@@ -74,6 +77,11 @@ def params_from_hf(state_dict, cfg: LlamaConfig, dtype=jnp.bfloat16):
             "w_up": lin(p + "mlp.up_proj.weight"),
             "w_down": lin(p + "mlp.down_proj.weight"),
         })
+        if cfg.qkv_bias:
+            for ours, theirs in (("bq", "q_proj"), ("bk", "k_proj"),
+                                 ("bv", "v_proj")):
+                params["layers"][-1][ours] = jnp.asarray(
+                    sd[p + f"self_attn.{theirs}.bias"], jnp.float32)
     if not cfg.tie_embeddings:
         if "lm_head.weight" in sd:
             params["lm_head"] = lin("lm_head.weight")

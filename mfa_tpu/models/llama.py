@@ -42,6 +42,7 @@ class LlamaConfig:
     norm_eps: float = 1e-5
     tie_embeddings: bool = False
     sliding_window: int | None = None   # Mistral-style SWA (all layers)
+    qkv_bias: bool = False              # Qwen2-style attention bias
 
     @property
     def head_dim(self) -> int:
@@ -62,6 +63,12 @@ class LlamaConfig:
         return cls(vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
                    n_kv_heads=8, ffn_hidden=14336, rope_theta=10000.0,
                    sliding_window=4096)
+
+    @classmethod
+    def qwen2_7b(cls) -> "LlamaConfig":
+        return cls(vocab_size=152064, dim=3584, n_layers=28, n_heads=28,
+                   n_kv_heads=4, ffn_hidden=18944, rope_theta=1000000.0,
+                   norm_eps=1e-6, qkv_bias=True)
 
     @classmethod
     def tiny(cls) -> "LlamaConfig":
@@ -92,7 +99,7 @@ def init_params(key, cfg: LlamaConfig, dtype=jnp.bfloat16):
     }
     hd = cfg.head_dim
     for _ in range(cfg.n_layers):
-        params["layers"].append({
+        layer = {
             "attn_norm": jnp.ones((cfg.dim,), jnp.float32),
             "wq": dense(next(keys), cfg.dim, cfg.n_heads * hd),
             "wk": dense(next(keys), cfg.dim, cfg.n_kv_heads * hd),
@@ -102,7 +109,12 @@ def init_params(key, cfg: LlamaConfig, dtype=jnp.bfloat16):
             "w_gate": dense(next(keys), cfg.dim, cfg.ffn_hidden),
             "w_up": dense(next(keys), cfg.dim, cfg.ffn_hidden),
             "w_down": dense(next(keys), cfg.ffn_hidden, cfg.dim),
-        })
+        }
+        if cfg.qkv_bias:
+            layer["bq"] = jnp.zeros((cfg.n_heads * hd,), jnp.float32)
+            layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), jnp.float32)
+            layer["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), jnp.float32)
+        params["layers"].append(layer)
     if not cfg.tie_embeddings:
         params["lm_head"] = dense(next(keys), cfg.dim, cfg.vocab_size)
     return params
@@ -177,6 +189,10 @@ def init_params_quantized(key, cfg: LlamaConfig,
                  "mlp_norm": jnp.ones((cfg.dim,), jnp.float32)}
         for t, name in enumerate(names):
             layer[name] = quant.QuantizedWeight(qw[t][0], qw[t][1], kind)
+        if cfg.qkv_bias:
+            layer["bq"] = jnp.zeros((cfg.n_heads * hd,), jnp.float32)
+            layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), jnp.float32)
+            layer["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), jnp.float32)
         params["layers"].append(layer)
     if not cfg.tie_embeddings:
         params["lm_head"] = dense(all_keys[ki], cfg.dim, cfg.vocab_size)
@@ -261,12 +277,20 @@ def apply_rope(x, positions, inv_freq):
 def _project_qkv(layer, x, cfg, dtype):
     b, t, _ = x.shape
     hd = cfg.head_dim
+
+    def proj(wname, bname):
+        y = _matmul(x, layer[wname], dtype)
+        if bname in layer:                  # Qwen2-style attention bias
+            y = (y.astype(jnp.float32)
+                 + layer[bname].astype(jnp.float32)).astype(dtype)
+        return y.reshape(b, t, -1, hd)
+
     # Head counts come from the projection widths, not cfg: inside a
     # tensor-parallel shard_map the layer holds the LOCAL head shard
     # (n_heads / tp), and the reshape must follow the local width.
-    q = _matmul(x, layer["wq"], dtype).reshape(b, t, -1, hd)
-    k = _matmul(x, layer["wk"], dtype).reshape(b, t, -1, hd)
-    v = _matmul(x, layer["wv"], dtype).reshape(b, t, -1, hd)
+    q = proj("wq", "bq")
+    k = proj("wk", "bk")
+    v = proj("wv", "bv")
     # [B, H, T, D]
     return (jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2))
 

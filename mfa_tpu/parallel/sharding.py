@@ -45,6 +45,10 @@ def param_specs(params) -> dict:
         from mfa_tpu.kernels.quant import QuantizedWeight
 
         out = {}
+        # Qwen2-style QKV biases: per-output-feature, column-parallel.
+        for bias in ("bq", "bk", "bv"):
+            if bias in layer:
+                out[bias] = P("tp")
         for name, s in spec.items():
             w = layer[name]
             if isinstance(w, QuantizedWeight):
