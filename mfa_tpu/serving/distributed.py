@@ -132,34 +132,6 @@ def make_prefill(cfg: llama.LlamaConfig, mesh: Mesh, params,
     return jax.jit(mapped)
 
 
-def make_splice(mesh: Mesh, caches, caches1_spec):
-    """Build the jitted slot-splice: write a batch-1 prefilled cache into
-    ``slot`` of the dp-sharded multi-slot cache (dynamic slot index — one
-    compile serves every slot)."""
-    cspecs = [cache_spec(c) for c in caches]
-
-    def splice_one(c, c1, slot, true_len):
-        def dus(buf, new):
-            start = (slot,) + (0,) * (buf.ndim - 1)
-            return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
-                                                start)
-        return replace(
-            c,
-            k=dus(c.k, c1.k), v=dus(c.v, c1.v),
-            k_scale=dus(c.k_scale, c1.k_scale),
-            v_scale=dus(c.v_scale, c1.v_scale),
-            lengths=jax.lax.dynamic_update_slice(
-                c.lengths, true_len[None].astype(c.lengths.dtype), (slot,)),
-        )
-
-    def fn(caches, caches1, slot, true_len):
-        return [splice_one(c, c1, slot, true_len)
-                for c, c1 in zip(caches, caches1)]
-
-    # Plain jit (not shard_map): XLA SPMD partitions the dynamic-update-
-    # slices over the existing shardings, routing the replicated batch-1
-    # slabs to whichever dp shard owns the slot.
-    return jax.jit(fn, donate_argnums=(0,))
 
 
 class ShardedScheduler(ContinuousBatchingScheduler):
@@ -178,7 +150,6 @@ class ShardedScheduler(ContinuousBatchingScheduler):
         super().__init__(params, cfg, **kw)
         self.params = shard_params(params, mesh)
         self.caches = shard_caches(self.caches, mesh)
-        self._splice_fn = None
 
     def _prefill_fn(self, bucket: int):
         if bucket in self._prefill_fns:
@@ -192,16 +163,17 @@ class ShardedScheduler(ContinuousBatchingScheduler):
         self._prefill_fns[bucket] = wrapped
         return wrapped
 
-    def _splice(self, slot, caches1, true_len):
-        if self._splice_fn is None:
-            probe_spec = [replicated_cache_spec(c) for c in caches1]
-            self._splice_fn = make_splice(self.mesh, self.caches, probe_spec)
-        self.caches = self._splice_fn(
-            self.caches, caches1, jnp.asarray(slot, jnp.int32),
-            jnp.asarray(true_len, jnp.int32))
-
-    def _decode(self, params, tokens):
+    def _decode(self, params, tokens, key):
         if self._decode_fn is None:
-            self._decode_fn = make_decode_step(
-                self.cfg, self.mesh, params, self.caches)
-        return self._decode_fn(params, tokens, self.caches)
+            step = make_decode_step(self.cfg, self.mesh, params,
+                                    self.caches, donate=False)
+            temperature = self.temperature
+
+            @jax.jit
+            def fn(params, tokens, caches, key):
+                logits, caches = step(params, tokens, caches)
+                from mfa_tpu.serving.sampling import sample
+                return sample(logits, key, temperature=temperature), caches
+
+            self._decode_fn = fn
+        return self._decode_fn(params, tokens, self.caches, key)

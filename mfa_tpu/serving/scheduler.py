@@ -49,6 +49,36 @@ class Completion:
     prefill_len: int
 
 
+def make_splice():
+    """Jitted slot-splice: write a batch-1 prefilled cache into ``slot``
+    of every layer's multi-slot cache in ONE dispatch (dynamic slot index —
+    one compile serves every slot; per-layer eager ``write_slot`` calls
+    cost a tunnel RTT each at 32 layers). Works unchanged on sharded
+    caches: XLA SPMD partitions the dynamic-update-slices over the
+    existing shardings (serving/distributed.py uses the same build)."""
+    import dataclasses as _dc
+
+    def splice_one(c, c1, slot, true_len):
+        def dus(buf, new):
+            start = (slot,) + (0,) * (buf.ndim - 1)
+            return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                                start)
+        return _dc.replace(
+            c,
+            k=dus(c.k, c1.k), v=dus(c.v, c1.v),
+            k_scale=dus(c.k_scale, c1.k_scale),
+            v_scale=dus(c.v_scale, c1.v_scale),
+            lengths=jax.lax.dynamic_update_slice(
+                c.lengths, true_len[None].astype(c.lengths.dtype), (slot,)),
+        )
+
+    def fn(caches, caches1, slot, true_len):
+        return [splice_one(c, c1, slot, true_len)
+                for c, c1 in zip(caches, caches1)]
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
@@ -96,6 +126,7 @@ class ContinuousBatchingScheduler:
 
         self._prefill_fns: dict = {}
         self._decode_fn = None   # built lazily on first decode step
+        self._splice_fn = None
 
     # -- jitted steps -----------------------------------------------------
 
@@ -122,17 +153,24 @@ class ContinuousBatchingScheduler:
         self._prefill_fns[bucket] = fn
         return fn
 
-    def _decode(self, params, tokens):
+    def _decode(self, params, tokens, key):
+        """One jitted decode+sample dispatch: sampling runs ON DEVICE
+        inside the same executable, so the host round-trip per step is one
+        dispatch + a [num_slots]-int readback (several eager sampling ops
+        per step cost a tunnel RTT each — round-4 serving bench)."""
         if self._decode_fn is None:
             cfg = self.cfg
+            temperature = self.temperature
 
             @jax.jit
-            def fn(params, tokens, caches):
-                logits, caches = llama.decode_step(params, cfg, tokens, caches)
-                return logits, caches
+            def fn(params, tokens, caches, key):
+                logits, caches = llama.decode_step(params, cfg, tokens,
+                                                   caches)
+                toks = sample(logits, key, temperature=temperature)
+                return toks, caches
 
             self._decode_fn = fn
-        return self._decode_fn(params, tokens, self.caches)
+        return self._decode_fn(params, tokens, self.caches, key)
 
     # -- host-side orchestration -----------------------------------------
 
@@ -169,10 +207,11 @@ class ContinuousBatchingScheduler:
             self.stats["tokens"] += 1
 
     def _splice(self, slot, caches1, true_len):
-        self.caches = [
-            kv_mod.write_slot(c, slot, c1, true_len)
-            for c, c1 in zip(self.caches, caches1)
-        ]
+        if self._splice_fn is None:
+            self._splice_fn = make_splice()
+        self.caches = self._splice_fn(
+            self.caches, caches1, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(true_len, jnp.int32))
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -200,10 +239,9 @@ class ContinuousBatchingScheduler:
         self._admit()
         if not any(s is not None for s in self.slots):
             return False
-        logits, self.caches = self._decode(
-            self.params, jnp.asarray(self.last_tokens))
-        toks = np.asarray(sample(
-            logits, self._next_key(), temperature=self.temperature))
+        toks_dev, self.caches = self._decode(
+            self.params, jnp.asarray(self.last_tokens), self._next_key())
+        toks = np.asarray(toks_dev)
         for i, s in enumerate(self.slots):
             if s is None:
                 continue
