@@ -76,44 +76,50 @@ def _paged_decode_kernel(
         # is only (1, page); lax.cond here measurably costs more than the
         # select — see module docstring).
         col = j * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (1, page_size), 1)
+            jnp.int32, (1, 1, page_size), 2)
         live = col < length
         if sliding_window is not None:
             live &= col >= win_start
 
-        for h in range(num_kv_heads):
-            rows = slice(h * group, (h + 1) * group)
-            q = q_ref[0, rows]                          # (group, d) prescaled
-            k = k_ref[0, h]                             # (page, d) storage
-            if quantized:
-                k = convert(k)
-            s = jax.lax.dot_general(
-                q, k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                           # (group, page)
-            if quantized:
-                s = s * ks_ref[0, h]
-            s = jnp.where(live, s, MASK_VALUE)
+        # BATCHED head contraction: one dot_general with Hkv as the batch
+        # dim instead of Hkv serialized (group, page) dots — Mosaic
+        # schedules the batched form as one pipelined chain.
+        q = q_ref[0].reshape(num_kv_heads, group, q_ref.shape[-1])
+        k = k_ref[0]                                    # (Hkv, page, d)
+        if quantized:
+            k = convert(k)
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                               # (Hkv, group, page)
+        if quantized:
+            s = s * ks_ref[0]                           # (Hkv, 1, page)
+        s = jnp.where(live, s, MASK_VALUE)
 
-            m_prev = m_scr[rows]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            corr = jnp.exp2(m_prev - m_new)
-            p = jnp.exp2(s - m_new)
-            l_scr[rows] = corr * l_scr[rows] + jnp.sum(p, axis=-1,
-                                                       keepdims=True)
-            m_scr[rows] = m_new
+        m_prev = m_scr[...].reshape(num_kv_heads, group, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        l_prev = l_scr[...].reshape(num_kv_heads, group, 1)
+        l_scr[...] = (corr * l_prev
+                      + jnp.sum(p, axis=-1, keepdims=True)).reshape(
+                          num_kv_heads * group, 1)
+        m_scr[...] = m_new.reshape(num_kv_heads * group, 1)
 
-            v = v_ref[0, h]
-            if quantized:
-                p = p * vs_ref[0, h]
-                v = convert(v)
-            pv = jax.lax.dot_general(
-                p.astype(compute_dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_scr[rows] = acc_scr[rows] * corr + pv
+        v = v_ref[0]                                    # (Hkv, page, d)
+        if quantized:
+            p = p * vs_ref[0]
+            v = convert(v)
+        pv = jax.lax.dot_general(
+            p.astype(compute_dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                               # (Hkv, group, d)
+        d_pad_ = acc_scr.shape[-1]
+        acc_prev = acc_scr[...].reshape(num_kv_heads, group, d_pad_)
+        acc_scr[...] = (acc_prev * corr + pv).reshape(
+            num_kv_heads * group, d_pad_)
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _finalize():
