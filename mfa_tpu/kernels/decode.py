@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mfa_tpu.kernels.flash_fwd import LOG2E, MASK_VALUE, _cdiv
+from mfa_tpu.kernels.flash_fwd import MASK_VALUE, _cdiv
 
 INT8_MAX = 127.0
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from mfa_tpu.kernels import quant
 from mfa_tpu.ops.attention import flash_attention
-from mfa_tpu.ops.decode import decode_attention, decode_attention_append
+from mfa_tpu.ops.decode import decode_attention_append
 from mfa_tpu.ops.precision import OperandPrecision
 from mfa_tpu.serving import kv_cache as kv_cache_mod
 

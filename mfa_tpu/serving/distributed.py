@@ -21,7 +21,6 @@ splice, decode) are swapped for mesh-aware builds.
 from __future__ import annotations
 
 from dataclasses import replace
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -75,3 +75,38 @@ def test_flax_interop(rng):
     want = jnp.einsum("bto,of->btf", o_ref,
                       p["o_proj"]["kernel"].reshape(-1, 64))
     np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=2e-4)
+
+
+def test_top_p_sampling_nucleus():
+    """top-p keeps exactly the smallest descending-probability prefix with
+    mass >= p (always at least the argmax); tokens outside the nucleus are
+    never drawn."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mfa_tpu.serving.sampling import sample
+
+    # probs ~ [0.6, 0.25, 0.1, 0.05] after softmax; p=0.7 → keep {0, 1}.
+    base = np.log(np.array([[0.6, 0.25, 0.1, 0.05]], np.float32))
+    logits = jnp.asarray(base)
+    draws = set()
+    for i in range(64):
+        t = int(sample(logits, jax.random.key(i), temperature=1.0,
+                       top_p=0.7)[0])
+        draws.add(t)
+    assert draws <= {0, 1}, draws
+    assert 0 in draws
+
+    # p=1.0 leaves the distribution untouched (all tokens reachable).
+    draws = set()
+    for i in range(256):
+        t = int(sample(logits, jax.random.key(i), temperature=1.0,
+                       top_p=1.0)[0])
+        draws.add(t)
+    assert draws == {0, 1, 2, 3}
+
+    # Degenerate: top token mass alone exceeds p → greedy-like nucleus.
+    t = int(sample(logits, jax.random.key(0), temperature=1.0,
+                   top_p=0.1)[0])
+    assert t == 0
