@@ -140,7 +140,8 @@ def main():
     # Persist for bench.py to embed next to the fwd headline (full-config
     # runs only — smoke runs with reduced layers are not the headline;
     # the INT8-weight config is the headline metric).
-    if args.layers == 32 and args.wbits == 8 and args.kv == "fp8":
+    if (args.layers == 32 and args.wbits == 8 and args.kv == "fp8"
+            and args.batch == 8):
         import os
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "docs", "sweeps", "decode_headline.json")
