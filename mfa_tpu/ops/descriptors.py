@@ -168,15 +168,14 @@ class AttentionDescriptor:
             generation=gen.name,
             # Causal prefers a single row group: the blockskip masks run
             # per group, and 1024/1024 qg=0 measured 0.533 vs 0.486 at
-            # qg=256 (round-3 fwd A/B on v5e). Non-causal FORWARD with a
-            # 1024-row parallel block prefers qg=512 (round-4 sweep:
-            # 0.864 vs 0.825 at D=128 in the same run — the wider group's
-            # S tile still fits scoped VMEM at d_pad=128 and halves the
-            # per-group online-softmax state traffic); backward kernels
-            # keep the measured 256 (no forward-style rescale chain).
-            block_q_inner=(0 if is_causal else
-                           512 if (kernel_type is AttentionKernelType.FORWARD
-                                   and block_q >= 1024) else 256),
+            # qg=256 (round-3 fwd A/B on v5e). Non-causal with a >=1024-row
+            # block prefers qg=512 (round-4 sweeps: fwd 0.864 vs 0.825 at
+            # D=128 same-run; train-step 0.935 vs 0.924 at D=128, 0.920 vs
+            # 0.918 at D=256 with the backward kernels widened too — the
+            # wider group halves per-group state traffic and its S tile
+            # still fits scoped VMEM at these block classes).
+            block_q_inner=(0 if is_causal
+                           else 512 if block_q >= 1024 else 256),
         )
 
 
