@@ -391,8 +391,13 @@ def vmem_bytes_estimate(
     # Resident Q/O (fwd) or equivalents: q block + accumulator
     resident = bq * d * in_bytes + bq * d_pad * acc
     # S/P tile + m/l rows. All three kernels process q rows in groups of
-    # block_q_inner (=256), so only the live group's S tile materializes —
-    # never the full (bq, bkv) tile (flash_fwd/flash_bwd row grouping).
+    # block_q_inner (256, or 512 at bq>=1024 since round 4), so only the
+    # live group's S tile materializes — never the full (bq, bkv) tile.
+    # The 256/512 coefficients below stay calibrated against measured
+    # compile outcomes (qg=512 at D=128/bq=1024/bkv=4096 compiles and runs
+    # on v5e; Mosaic does not hold S fp32 and P bf16 fully live at once,
+    # so the naive 6-byte-per-element sum over a 512-row group would
+    # over-reject working configs).
     # Forward: S fp32 + P bf16 for one group. Backward: S + dP fp32 tiles
     # with up to ~2 groups in flight.
     if kernel_type == "forward":
