@@ -36,14 +36,24 @@ def main():
     bytes_accessed = (3 * batch * heads * seq * d * 2      # q,k,v bf16 in
                       + batch * heads * seq * d * 2        # o out
                       + batch * heads * seq * 4)           # L out
-    res = measure_chained(
-        lambda qq: flash_attention(qq, k, v, interpret=False),
-        q, flops, bytes_accessed, name="attn_fwd_d128", generation=gen,
-    )
+    # Median of 3 full measured runs (each itself a median-of-3 slope):
+    # single samples flap +-0.03-0.05 across the tunnel (round-4 verdict
+    # weak #2) — the official artifact records the median and the spread.
+    runs = [
+        measure_chained(
+            lambda qq: flash_attention(qq, k, v, interpret=False),
+            q, flops, bytes_accessed, name="attn_fwd_d128", generation=gen,
+        )
+        for _ in range(3)
+    ]
+    runs.sort(key=lambda r: r.latency_s)
+    res = runs[1]
+    utils = sorted(r.roofline_utilization for r in runs)
 
     print(
         f"# latency {res.latency_s*1e6:.0f} us | {res.tflops:.1f} TFLOP/s | "
-        f"{res.ginstrs:.0f} GINSTRS/s | util {res.roofline_utilization:.3f}",
+        f"{res.ginstrs:.0f} GINSTRS/s | util {res.roofline_utilization:.3f} "
+        f"(3-run spread {utils[0]:.3f}-{utils[-1]:.3f})",
         file=sys.stderr,
     )
     rec = {
@@ -51,6 +61,7 @@ def main():
         "value": round(res.tflops, 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(res.roofline_utilization, 4),
+        "spread": [round(utils[0], 4), round(utils[-1], 4)],
     }
     # Embed the decode headline (the other half of BASELINE.json's north
     # star) when bench_decode.py has recorded one — decode setup is minutes

@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mfa_tpu.kernels.flash_fwd import MASK_VALUE, _cdiv
+from mfa_tpu.kernels.quant import fp8_max
 
 INT8_MAX = 127.0
 
@@ -503,7 +504,10 @@ def _decode_fused_kernel(
 
     # --- append: quantize the new row + splice its scale lane ---
     if quantized:
-        maxq = INT8_MAX if not fp8 else 448.0
+        # fp8 maxq keys on the storage kind (448 e4m3 / 57344 e5m2),
+        # matching quantize_fp8 so fused-append rows stay bitwise-identical
+        # to update()'s.
+        maxq = fp8_max(ko_ref.dtype) if fp8 else INT8_MAX
         ka = jnp.max(jnp.abs(kn))
         va = jnp.max(jnp.abs(vn))
         kscale = jnp.maximum(ka, 1e-8) / maxq
@@ -524,7 +528,14 @@ def _decode_fused_kernel(
     # Mosaic requires output block sublanes divisible by 8: write an
     # 8-row aligned window (read-modify-write — the window rows come from
     # the already-resident full cache block, so no extra DMA).
-    win_start = (length // 8) * 8
+    # Clamp to the last in-bounds window: once length reaches capacity
+    # (an idle slot a long-running scheduler kept stepping), the unclamped
+    # win_start would read k_ref[0, max_len:max_len+8] OOB and clobber the
+    # slot's last 8 rows; clamped, row_in_win lands >= 8, rsel is all
+    # false, and the window writes back unchanged.
+    # (clamp BEFORE the //8*8 floor — Mosaic must statically prove the
+    # pl.ds start is a multiple of 8, which min(x*8, L-8) obscures)
+    win_start = (jnp.minimum(length, L - 1) // 8) * 8
     row_in_win = length - win_start
     rsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == row_in_win
     # Ref-level dynamic slice (value-level lax.dynamic_slice is not

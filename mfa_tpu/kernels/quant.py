@@ -44,7 +44,16 @@ class QuantizedWeight:
 
 INT8_MAX = 127.0
 FP8_E4M3_MAX = 448.0
+FP8_E5M2_MAX = 57344.0
 INT4_MAX = 7.0
+
+
+def fp8_max(dtype) -> float:
+    """Dynamic-range max for an fp8 storage dtype (quantizer + fused-append
+    kernel key their scale on this so e5m2 uses its actual exponent range
+    instead of inheriting e4m3's 448)."""
+    return (FP8_E5M2_MAX if jnp.dtype(dtype) == jnp.dtype(jnp.float8_e5m2)
+            else FP8_E4M3_MAX)
 
 
 def quantize_int8(x, axis: int = -1):
@@ -61,10 +70,11 @@ def quantize_int8(x, axis: int = -1):
 
 
 def quantize_fp8(x, axis: int = -1, dtype=jnp.float8_e4m3fn):
-    """Scaled fp8-e4m3 storage: x ≈ values.astype(f32) * scales."""
+    """Scaled fp8 storage: x ≈ values.astype(f32) * scales. The scale is
+    keyed on the dtype's own max (448 e4m3 / 57344 e5m2)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / FP8_E4M3_MAX
+    scale = jnp.maximum(amax, 1e-8) / fp8_max(dtype)
     q = (xf / scale).astype(dtype)
     return q, scale
 

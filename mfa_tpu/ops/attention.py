@@ -175,7 +175,11 @@ def _attn_autotuned_kd(kind, kd, desc, q, k, run_candidate):
     return dataclasses.replace(kd, block_q=best[0], block_kv=best[1])
 
 
-def _get_fwd(desc, kd, q, k, o_dtype, cfg):
+def _get_fwd(desc, kd, q, k, v, o_dtype, cfg):
+    """Returns (pipeline, kd_used). kd_used may differ from the heuristic kd
+    under MFA_AUTOTUNE=1 — the caller must derive its operand padding from
+    kd_used, not the heuristic, or the production call runs at blocks the
+    winner was never timed at."""
     b, hq, hkv = desc.batch, desc.num_q_heads, desc.num_kv_heads
     d_pad = round_up(desc.head_dim, 128)
 
@@ -196,19 +200,20 @@ def _get_fwd(desc, kd, q, k, o_dtype, cfg):
         )
 
     if not cfg.interpret:
-        def run_candidate(kdx, _q=q):
+        def run_candidate(kdx):
             r_pad = round_up(desc.seq_len_q, kdx.block_q)
             c_pad = round_up(desc.seq_len_kv, kdx.block_kv)
             fn = build_for(kdx)()
             return fn(_repad(_fold(q), r_pad, d_pad),
                       _repad(_fold(k), c_pad, d_pad),
-                      _repad(_fold(k), c_pad, d_pad))[0]
+                      _repad(_fold(v), c_pad, d_pad))[0]
 
         kd = _attn_autotuned_kd("fwd", kd, desc, q, k, run_candidate)
 
     build = build_for(kd)
     key = ("fwd", _shape_key(desc, kd, q, k, cfg), str(o_dtype))
-    return attention_cache.get_pipeline(key, key, build, lambda kern: kern)
+    return attention_cache.get_pipeline(key, key, build,
+                                        lambda kern: kern), kd
 
 
 def _get_bwd_q(desc, kd, q, k, cfg):
@@ -265,19 +270,21 @@ def _run_forward(q, k, v, cfg):
     desc = _descriptor(q, k, v, cfg)
     kd = desc.kernel_descriptor(AttentionKernelType.FORWARD)
     d_pad = round_up(desc.head_dim, 128)
-    r_pad = round_up(desc.seq_len_q, kd.block_q)
-    c_pad = round_up(desc.seq_len_kv, kd.block_kv)
-
-    q3 = _pad3(_fold(q), r_pad, d_pad)
-    k3 = _pad3(_fold(k), c_pad, d_pad)
-    v3 = _pad3(_fold(v), c_pad, d_pad)
 
     # O memory precision follows the policy's O rule (Precisions.swift:140-143
     # recast): low_precision_intermediates → O in the input's 16-bit family,
     # else FP32 in HBM (the fp32 accumulator is written out unrounded).
     policy = desc.precision_policy()
     o_dtype = q.dtype if policy.mem(AttentionOperand.O).bits <= 16 else jnp.float32
-    fwd = _get_fwd(desc, kd, q, k, o_dtype, cfg)
+    # kd may come back with autotuned blocks — padding must match THAT
+    # pipeline, not the heuristic's.
+    fwd, kd = _get_fwd(desc, kd, q, k, v, o_dtype, cfg)
+    r_pad = round_up(desc.seq_len_q, kd.block_q)
+    c_pad = round_up(desc.seq_len_kv, kd.block_kv)
+
+    q3 = _pad3(_fold(q), r_pad, d_pad)
+    k3 = _pad3(_fold(k), c_pad, d_pad)
+    v3 = _pad3(_fold(v), c_pad, d_pad)
     o_pad, l_pad = fwd(q3, k3, v3)
     b, hq, r, d = q.shape
     o = o_pad[:, :r, :d].reshape(b, hq, r, d)

@@ -262,6 +262,9 @@ def decode_attention_append(
         cache,
         k=k2.reshape(shp_k), v=v2.reshape(shp_k),
         k_scale=ks2.reshape(shp_s), v_scale=vs2.reshape(shp_s),
-        lengths=cache.lengths + 1,
+        # Cap at capacity so an idle/full slot stops creeping: past max_len
+        # the fused kernel's clamped append window drops the write, and an
+        # uncapped length would walk the live-column mask out of bounds.
+        lengths=jnp.minimum(cache.lengths + 1, max_len),
     )
     return o.reshape(b, hq, d_pad)[..., :d], new_cache

@@ -252,4 +252,47 @@ std::string emit_gemm_stablehlo(const GEMMEmitParams& p) {
   return e.s;
 }
 
+std::string emit_gemm_chain_stablehlo(const GEMMEmitParams& p) {
+  const GEMMDescriptor& d = p.desc;
+  // Square, non-transposed, unbatched: the timing harness shape.
+  if (d.m != d.n || d.n != d.k || d.transpose_a || d.transpose_b ||
+      d.batch > 1 || d.load_previous_c) {
+    return "";
+  }
+  const std::string x_t = tensor_type(1, d.m, d.m, p.a_type);
+  const std::string b_t = tensor_type(1, d.m, d.m, p.b_type);
+  const std::string f_t = tensor_type(1, d.m, d.m, ElementType::kF32);
+  const bool cast = p.a_type != ElementType::kF32;
+
+  std::string s;
+  s += "module @gemm_chain {\n";
+  s += "  func.func @main(%a: " + x_t + ", %b: " + b_t +
+       ", %n: tensor<i32>) -> " + x_t + " {\n";
+  s += "    %i0 = stablehlo.constant dense<0> : tensor<i32>\n";
+  s += "    %one = stablehlo.constant dense<1> : tensor<i32>\n";
+  s += "    %w:2 = stablehlo.while(%it = %i0, %x = %a) : tensor<i32>, " +
+       x_t + "\n";
+  s += "    cond {\n";
+  s += "      %lt = stablehlo.compare LT, %it, %n : (tensor<i32>, "
+       "tensor<i32>) -> tensor<i1>\n";
+  s += "      stablehlo.return %lt : tensor<i1>\n";
+  s += "    } do {\n";
+  s += "      %ni = stablehlo.add %it, %one : tensor<i32>\n";
+  s += "      %dot = stablehlo.dot_general %x, %b, contracting_dims = [1] x "
+       "[0], precision = [DEFAULT, DEFAULT] : (" + x_t + ", " + b_t +
+       ") -> " + f_t + "\n";
+  if (cast) {
+    s += "      %cv = stablehlo.convert %dot : (" + f_t + ") -> " + x_t +
+         "\n";
+    s += "      stablehlo.return %ni, %cv : tensor<i32>, " + x_t + "\n";
+  } else {
+    s += "      stablehlo.return %ni, %dot : tensor<i32>, " + x_t + "\n";
+  }
+  s += "    }\n";
+  s += "    return %w#1 : " + x_t + "\n";
+  s += "  }\n";
+  s += "}\n";
+  return s;
+}
+
 }  // namespace mfa

@@ -45,4 +45,13 @@ struct GEMMEmitParams {
 // arguments are (A, B[, C0]) and whose result is C = op(A) · op(B) [+ C0].
 std::string emit_gemm_stablehlo(const GEMMEmitParams& p);
 
+// Chained-timing variant (square NN only): @main(A, B, n: i32) runs
+// x = convert_to_a_type(x · B) in a stablehlo.while n times and returns x.
+// One dispatch = n dependent GEMMs, so per-dispatch tunnel overhead
+// amortizes away and the slope between two chain lengths is pure device
+// time — the C++ twin of utils/roofline.py measure_chained. The trip
+// count is an ARGUMENT (dynamic while bound): one compile serves every
+// chain length, where the Python path recompiles per static n.
+std::string emit_gemm_chain_stablehlo(const GEMMEmitParams& p);
+
 }  // namespace mfa

@@ -139,6 +139,36 @@ def test_fused_append_matches_update(rng, precision):
                  np.asarray(o_two, np.float32), tol, "fused O")
 
 
+def test_fused_append_at_capacity(rng):
+    """A slot at capacity must stop: lengths cap at max_len, the append
+    window clamps in-bounds (no OOB read / last-8-row clobber — the
+    round-4 advisor finding), and further steps leave the cache bitwise
+    unchanged while still attending over the full cache."""
+    from mfa_tpu.ops.decode import decode_attention_append
+
+    b, hq, hkv, d, max_len = 1, 4, 2, 64, 128
+    cache, _, _ = _fill_cache(rng, b, hkv, [max_len - 1], max_len, d,
+                              OperandPrecision.INT8)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.5, jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.5, jnp.bfloat16)
+
+    # Step 1 fills the last row: length max_len-1 -> max_len.
+    _, cache = decode_attention_append(q, k_new, v_new, cache)
+    assert int(cache.lengths[0]) == max_len
+    snap_k = np.asarray(cache.k.astype(jnp.float32))
+    snap_s = np.asarray(cache.k_scale)
+
+    # Steps 2..4: full slot — lengths stay capped, contents stay frozen.
+    for _ in range(3):
+        o, cache = decode_attention_append(q, k_new, v_new, cache)
+    assert int(cache.lengths[0]) == max_len
+    np.testing.assert_array_equal(
+        np.asarray(cache.k.astype(jnp.float32)), snap_k)
+    np.testing.assert_allclose(np.asarray(cache.k_scale), snap_s, rtol=1e-6)
+    assert np.isfinite(np.asarray(o, np.float32)).all()
+
+
 def test_decode_fp8_e5m2_cache(rng):
     """e5m2 KV storage path (gradient-format fp8; the bit-twiddle widening
     covers both fp8 layouts — kernels/decode.fp8_to_bf16)."""
