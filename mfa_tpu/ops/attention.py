@@ -446,6 +446,10 @@ def flash_attention(
     interpret: bool | None = None,
     with_lse: bool = False,
     low_precision_intermediates: bool | None = None,
+    transpose_q: bool = False,
+    transpose_k: bool = False,
+    transpose_v: bool = False,
+    transpose_o: bool = False,
 ):
     """Flash attention over [batch, heads, seq, head_dim] operands.
 
@@ -455,7 +459,22 @@ def flash_attention(
     ``low_precision_intermediates``: None follows the input precision class;
     False forces O to FP32 in HBM (the training-side rule the reference
     hardcodes, Precisions.swift:140-143); True keeps O in the 16-bit family.
+
+    ``transpose_*``: per-operand layout flags, the reference descriptor's
+    independent Q/K/V/O transpose states (AttentionDescriptor.swift:21-27).
+    A transposed operand stores [batch, heads, head_dim, seq] instead of
+    [..., seq, head_dim]; ``transpose_o`` returns O in that layout. On TPU
+    the flag folds into the traced graph as a swapaxes that XLA fuses into
+    the neighbouring op's layout assignment — the kernels always see
+    canonical [..., S, D] blocks (no per-layout kernel variants, where the
+    reference emits different load paths per transpose state).
     """
+    if transpose_q:
+        q = jnp.swapaxes(q, -1, -2)
+    if transpose_k:
+        k = jnp.swapaxes(k, -1, -2)
+    if transpose_v:
+        v = jnp.swapaxes(v, -1, -2)
     if interpret is None:
         interpret = _auto_interpret()
     cfg = _AttnConfig(
@@ -466,8 +485,13 @@ def flash_attention(
     if with_lse:
         o, (_, _, _, _, l_pad) = _run_forward(q, k, v, cfg)
         lse = l_pad[:, : q.shape[2], 0]
+        if transpose_o:
+            o = jnp.swapaxes(o, -1, -2)
         return o, lse.reshape(q.shape[0], q.shape[1], q.shape[2])
-    return _flash(q, k, v, cfg)
+    o = _flash(q, k, v, cfg)
+    if transpose_o:
+        o = jnp.swapaxes(o, -1, -2)
+    return o
 
 
 def mha(x_q, x_k, x_v, **kwargs):

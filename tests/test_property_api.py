@@ -9,8 +9,11 @@ causal/SWA/soft-cap x odd (R, C, D) including tiny and block-edge values,
 runs fwd + all three grads through flash_attention, and checks against the
 analytic oracle with a precision-aware tolerance.
 
-Transpose states are intentionally NOT swept: XLA owns layout on TPU
-(SURVEY.md §7 design stance), so the public API has no transpose knobs.
+Transpose states ARE swept (round-4 VERDICT missing #3): each trial draws
+independent Q/K/V/O transpose flags, the last degree of freedom of
+RectangularAttentionTest.swift:88-120 — on TPU the flag folds at trace
+time (swapaxes), so this exercises only the public-API fold + the oracle
+comparison, not kernel variants.
 """
 
 import jax
@@ -58,6 +61,8 @@ def test_public_api_random_sweep(trial):
     elif not causal and rng.integers(0, 3) == 0:
         soft_cap = float(rng.uniform(5.0, 50.0))
 
+    t_q, t_k, t_v, t_o = (bool(rng.integers(0, 2)) for _ in range(4))
+
     def mk(shape):
         return jnp.asarray(rng.standard_normal(shape), dtype)
 
@@ -66,8 +71,16 @@ def test_public_api_random_sweep(trial):
     v = mk((b, hkv, c, d))
     do = mk((b, hq, r, d))
 
-    o = flash_attention(q, k, v, causal=causal, sliding_window=window,
-                        logit_soft_cap=soft_cap)
+    tkw = dict(transpose_q=t_q, transpose_k=t_k, transpose_v=t_v,
+               transpose_o=t_o)
+
+    def lay(x, flag):
+        return jnp.swapaxes(x, -1, -2) if flag else x
+
+    o = flash_attention(lay(q, t_q), lay(k, t_k), lay(v, t_v),
+                        causal=causal, sliding_window=window,
+                        logit_soft_cap=soft_cap, **tkw)
+    o = lay(o, t_o)   # back to canonical for the oracle comparison
 
     qf, kf, vf, dof = (x.astype(jnp.float32) for x in (q, k, v, do))
     want, _ = attention_reference(qf, kf, vf, causal=causal,
@@ -75,17 +88,23 @@ def test_public_api_random_sweep(trial):
                                   logit_soft_cap=soft_cap)
     tol = _tolerance(dtype, d)
     cfgstr = (f"trial {trial}: {dtype.__name__} b{b} hq{hq}/hkv{hkv} "
-              f"r{r} c{c} d{d} causal={causal} w={window} cap={soft_cap}")
+              f"r{r} c{c} d{d} causal={causal} w={window} cap={soft_cap} "
+              f"T={int(t_q)}{int(t_k)}{int(t_v)}{int(t_o)}")
     err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - want)))
     assert err < tol, f"O err {err:.2e} > {tol} ({cfgstr})"
 
-    # Gradients through the custom VJP (two-kernel backward).
-    def loss(q, k, v):
-        oo = flash_attention(q, k, v, causal=causal, sliding_window=window,
-                             logit_soft_cap=soft_cap)
-        return jnp.sum(oo.astype(jnp.float32) * dof)
+    # Gradients through the custom VJP (two-kernel backward) — taken wrt
+    # the LAID-OUT operands and folded back, so the transpose path is
+    # differentiable too.
+    def loss(ql, kl, vl):
+        oo = flash_attention(ql, kl, vl, causal=causal,
+                             sliding_window=window,
+                             logit_soft_cap=soft_cap, **tkw)
+        return jnp.sum(lay(oo, t_o).astype(jnp.float32) * dof)
 
-    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(
+        lay(q, t_q), lay(k, t_k), lay(v, t_v))
+    gq, gk, gv = lay(gq, t_q), lay(gk, t_k), lay(gv, t_v)
     wq, wk, wv, _ = attention_grads_reference(
         qf, kf, vf, dof, causal=causal, sliding_window=window,
         logit_soft_cap=soft_cap)
