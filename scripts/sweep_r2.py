@@ -68,7 +68,10 @@ def fwd_candidates(d_pad, seq, in_bytes=2, causal=False):
         for bkv in bkv_opts:
             if bkv > seq:
                 continue
-            for bd in sorted({min(128, d_pad), d_pad}):
+            bd_opts = {min(128, d_pad), d_pad}
+            if d_pad > 256 and d_pad % 256 == 0:
+                bd_opts.add(256)       # large-D middle ground (384/512 rows)
+            for bd in sorted(bd_opts):
                 if d_pad % bd:
                     continue
                 # VMEM sanity: live S tiles (~2 row groups of 256 => at most
@@ -96,7 +99,10 @@ def bwd_candidates(kernel, d_pad, seq, in_bytes=2, causal=False):
             bq, bkv = (par, trav) if kernel == "backward_query" else (trav, par)
             if bkv > seq or bq > seq:
                 continue
-            for bd in sorted({min(128, d_pad), d_pad}):
+            bd_opts = {min(128, d_pad), d_pad}
+            if d_pad > 256 and d_pad % 256 == 0:
+                bd_opts.add(256)
+            for bd in sorted(bd_opts):
                 if d_pad % bd:
                     continue
                 # Row grouping keeps only the live 256-row group's S/dP/dS
