@@ -149,3 +149,45 @@ def unpack_int4_halves(packed):
     lo = ((packed << 4).astype(jnp.int8)) >> 4        # sign-extend
     hi = packed >> 4                                   # arithmetic shift
     return lo, hi
+
+
+INT4_BIAS = 8
+
+
+def pack_int4_biased(w):
+    """Half-split packing with +8-biased UNSIGNED nibbles (round 5).
+
+    Same geometry as ``pack_int4_halves`` (byte[i, o] = rows i and i+K/2),
+    but each stored nibble is q+8 ∈ [1, 15], so the in-kernel unpack on a
+    zero-extended uint8 is just ``b & 15`` and ``b >> 4`` — 3 integer VPU
+    ops per byte instead of the signed path's 4 (widen + ``<<28 >>28``
+    sign-extension round trip + ``>>4``). The −8 bias never touches the
+    weights again: x @ (Wb − 8) = x @ Wb − 8·rowsum(x), and the rowsum
+    term is O(M·K) — negligible next to the O(K·N/2) weight stream the
+    kernel exists to protect. (Reference analogue: the signed-nibble
+    unpack cost is the Metal port's motivation for blocked dequant,
+    /root/reference's quantized GEMM docs; the bias+rowsum identity is the
+    standard w4a16 trick restated for the TPU VPU.)
+
+    w: [K, N] float → (packed [K/2, N] uint8, scale [1, N] f32).
+    """
+    wf = w.astype(jnp.float32)
+    k = wf.shape[0]
+    if k % 2 != 0:
+        raise ValueError(f"half-split int4 needs even contraction dim, "
+                         f"got {wf.shape}")
+    amax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / INT4_MAX
+    q = jnp.clip(jnp.round(wf / scale), -INT4_MAX, INT4_MAX).astype(jnp.int32)
+    qb = (q + INT4_BIAS).astype(jnp.uint8)            # [1, 15]
+    lo = qb[: k // 2]
+    hi = qb[k // 2 :] << 4
+    return (lo | hi).astype(jnp.uint8), scale
+
+
+def unpack_int4_biased(packed):
+    """[K/2, N] uint8 → (low, high) int32 halves in [-7, 7] (bias removed;
+    oracle for tests — the fused kernel keeps the bias and corrects via
+    rowsum instead)."""
+    p32 = packed.astype(jnp.int32)
+    return (p32 & 0x0F) - INT4_BIAS, (p32 >> 4) - INT4_BIAS

@@ -51,14 +51,49 @@ def _qmm_kernel(x_lo_ref, x_hi_ref, w_ref, scale_ref, o_ref, acc,
         o_ref[...] = (acc[...] * scale_ref[...]).astype(o_ref.dtype)
 
 
+def _qmm_biased_kernel(x_lo_ref, x_hi_ref, rsum_ref, w_ref, scale_ref,
+                       o_ref, acc, *, num_k_blocks: int, compute_dtype):
+    """Biased-unsigned-nibble unpack (round 5, VERDICT item 5).
+
+    Bytes hold q+8 nibbles (quant.pack_int4_biased), so unpack is a
+    zero-extended widen + ``& 15`` + ``>> 4`` — one fewer int VPU op per
+    byte than the signed path's sign-extension round trip. The −8 bias is
+    removed in the epilogue with the precomputed 8·rowsum(x) term:
+    x @ (Wb − 8·J) = x @ Wb − 8·rowsum(x) ⊗ 1.
+    """
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    w32 = w_ref[...].astype(jnp.int32)              # uint8: zero-extends
+    w_lo = (w32 & 0x0F).astype(compute_dtype)
+    w_hi = (w32 >> 4).astype(compute_dtype)
+    acc[...] += jax.lax.dot_general(
+        x_lo_ref[...], w_lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc[...] += jax.lax.dot_general(
+        x_hi_ref[...], w_hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kk == num_k_blocks - 1)
+    def _store():
+        o_ref[...] = ((acc[...] - rsum_ref[...])
+                      * scale_ref[...]).astype(o_ref.dtype)
+
+
 def build_int4_matmul(*, m: int, k: int, n: int, block_m: int, block_n: int,
                       block_k: int, x_dtype, o_dtype,
+                      biased: bool = False,
                       interpret: bool = False):
     """y [m, n] = x [m, k] @ W (packed [k/2, n] int8, scale [1, n] f32).
 
     ``block_k`` tiles the PACKED row dim (k/2); x is pre-split into its two
     column halves by the wrapper so each grid step contracts x[:, kb-half]
-    slices against the unpacked tiles.
+    slices against the unpacked tiles. ``biased=True`` selects the
+    unsigned-nibble kernel; it takes one extra operand, the precomputed
+    8·rowsum(x) column [m, 1] f32, between the x halves and the weights.
     """
     kp = k // 2
     num_m = -(-m // block_m)
@@ -67,14 +102,18 @@ def build_int4_matmul(*, m: int, k: int, n: int, block_m: int, block_n: int,
     compute_dtype = (jnp.bfloat16 if jnp.dtype(x_dtype) == jnp.bfloat16
                      else jnp.float32)
 
-    kernel = functools.partial(_qmm_kernel, num_k_blocks=num_k,
-                               compute_dtype=compute_dtype)
+    kernel = functools.partial(
+        _qmm_biased_kernel if biased else _qmm_kernel,
+        num_k_blocks=num_k, compute_dtype=compute_dtype)
+    rsum_spec = ([pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0))]
+                 if biased else [])
     return pl.pallas_call(
         kernel,
         grid=(num_m, num_n, num_k),
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
             pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            *rsum_spec,
             pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
         ],
@@ -99,9 +138,13 @@ def int4_matmul(x, packed, scale, *, interpret: bool | None = None,
     """Public fused int4 matmul. x [..., K]; packed [K/2, N]; scale [1, N].
 
     Leading x dims are flattened to rows; returns [..., N] in x.dtype.
+    A uint8 ``packed`` selects the biased-unsigned-nibble kernel
+    (quant.pack_int4_biased layout, rowsum bias correction); int8 keeps the
+    signed half-split layout.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    biased = jnp.dtype(packed.dtype) == jnp.uint8
     *lead, k = x.shape
     kp, n = packed.shape
     if kp * 2 != k:
@@ -130,6 +173,14 @@ def int4_matmul(x, packed, scale, *, interpret: bool | None = None,
 
     fn = build_int4_matmul(
         m=m_pad, k=2 * kp_pad, n=n_pad, block_m=bm, block_n=bn, block_k=bk,
-        x_dtype=x.dtype, o_dtype=x.dtype, interpret=interpret)
-    y = fn(x_lo, x_hi, wp, sc)[:m, :n]
+        x_dtype=x.dtype, o_dtype=x.dtype, biased=biased, interpret=interpret)
+    if biased:
+        # f32 rowsum of the UNPADDED x rows (padded rows sum to 0 anyway);
+        # bias term 8·Σₖ x — exact removal of the +8 nibble offset.
+        rsum8 = 8.0 * jnp.sum(x2.astype(jnp.float32), axis=1, keepdims=True)
+        if m_pad != m:
+            rsum8 = jnp.pad(rsum8, ((0, m_pad - m), (0, 0)))
+        y = fn(x_lo, x_hi, rsum8, wp, sc)[:m, :n]
+    else:
+        y = fn(x_lo, x_hi, wp, sc)[:m, :n]
     return y.reshape(*lead, n)

@@ -1,0 +1,55 @@
+#!/bin/bash
+# Round-5 chip-job queue: the measurement backlog behind VERDICT items
+# 4 (D=384/512 rows), 6 (GEMM large-size reclaim), 9 (VMEM envelope
+# calibration) and 10 (fp8 widening cost), in priority order. Same
+# retry/timeout discipline as r3_queue.sh (tunnel RPCs occasionally wedge
+# forever); every harness below is resumable, so a retry loses at most
+# the in-flight unit.
+#
+#   nohup bash scripts/r5_queue.sh > /tmp/r5_queue.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+run_step() {
+  local name="$1" tmo="$2"; shift 2
+  for attempt in 1 2 3; do
+    echo "=== [$name] attempt $attempt: $* ==="
+    timeout "$tmo" "$@" && { echo "=== [$name] OK ==="; return 0; }
+    echo "=== [$name] exited $? — retry in 30s ==="
+    sleep 30
+  done
+  echo "=== [$name] FAILED after 3 attempts — continuing queue ==="
+  return 1
+}
+
+probe() {
+  python -u -c "
+import numpy as np, jax.numpy as jnp
+x = jnp.ones((256, 256), jnp.bfloat16)
+print('probe ok', float(np.asarray(x @ x)[0, 0]))"
+}
+until timeout 180 bash -c "$(declare -f probe); probe"; do
+  echo "=== tunnel still down; sleeping 120s ==="
+  sleep 120
+done
+
+# 1. D=384 / D=512 block sweeps (VERDICT item 4): fwd + both backwards.
+#    Seeds the measured 384/inf table rows.
+run_step d384_fwd 1800 python -u scripts/sweep_r2.py --kernel forward --d 384
+run_step d384_bq  1800 python -u scripts/sweep_r2.py --kernel backward_query --d 384
+run_step d384_bkv 1800 python -u scripts/sweep_r2.py --kernel backward_key_value --d 384
+run_step d512_fwd 1800 python -u scripts/sweep_r2.py --kernel forward --d 512
+run_step d512_bq  1800 python -u scripts/sweep_r2.py --kernel backward_query --d 512
+run_step d512_bkv 1800 python -u scripts/sweep_r2.py --kernel backward_key_value --d 512
+
+# 2. GEMM block sweep at the reference's large sizes (VERDICT item 6).
+run_step gemm_blocks 2400 python -u scripts/sweep_gemm_blocks.py
+
+# 3. VMEM envelope compile-probe calibration (VERDICT item 9).
+run_step vmem 1800 python -u scripts/calibrate_vmem.py
+
+# 4. fp8 convert-domain A/B (VERDICT item 10).
+run_step fp8_ab 1200 python -u scripts/ab_fp8_convert.py
+
+echo "=== r5 queue complete ==="

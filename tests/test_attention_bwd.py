@@ -87,6 +87,17 @@ def test_bwd_d_blocked(rng):
     assert_close(dv, wv, 5e-5, "dV D=160")
 
 
+def test_bwd_d_blocked_large(rng):
+    """D=384 — the reference's large-D headline class (README.md:13);
+    3-block accumulator paging through both backward kernels."""
+    q, k, v, do = make_attention_inputs(rng, 1, 1, 1, 48, 64, 384)
+    dq, dk, dv = _grads(q, k, v, do)
+    wq, wk, wv, _ = attention_grads_reference(q, k, v, do)
+    assert_close(dq, wq, 5e-5, "dQ D=384")
+    assert_close(dk, wk, 5e-5, "dK D=384")
+    assert_close(dv, wv, 5e-5, "dV D=384")
+
+
 def test_bwd_causal_tablegrid_matches_blockskip(rng):
     """The compressed-grid causal schedule (tablegrid) is a scheduling
     strategy, not semantics: both backward kernels must produce gradients

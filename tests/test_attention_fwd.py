@@ -24,6 +24,8 @@ SHAPES = [
     (256, 193, 80),      # odd D, R != C
     (77, 511, 16),
     (384, 384, 160),     # D just past 128 → d-blocked path
+    (160, 96, 384),      # reference's large-D headline class (README.md:13)
+    (128, 160, 512),     # 4-block D paging
 ]
 
 
