@@ -124,6 +124,12 @@ _attn_tuned: dict = {}
 
 
 def _attn_autotune_candidates(kd, desc):
+    """Candidate descriptors around the table row. Beyond the round-4
+    (block_q, block_kv) neighborhood, the search covers the other tuned
+    axes (round-5): row-group width ``block_q_inner`` (the measured qg=512
+    lever), ``block_d`` paging at large head dims, and the causal schedule
+    (blockskip vs tablegrid) — each varied one-at-a-time from the row, the
+    same neighborhood discipline GEMM uses."""
     import dataclasses
 
     r_pad = round_up(desc.seq_len_q, 128)
@@ -131,6 +137,14 @@ def _attn_autotune_candidates(kd, desc):
     lim_q = lambda b: max(128, min(b, r_pad))
     lim_kv = lambda b: max(128, min(b, c_pad))
     seen, out = set(), []
+
+    def push(kdx):
+        sig = (kdx.block_q, kdx.block_kv, kdx.block_d, kdx.block_q_inner,
+               kdx.causal_mode)
+        if sig not in seen:
+            seen.add(sig)
+            out.append(kdx)
+
     for bq, bkv in (
         (kd.block_q, kd.block_kv),
         (kd.block_q * 2, kd.block_kv),
@@ -138,12 +152,22 @@ def _attn_autotune_candidates(kd, desc):
         (kd.block_q, kd.block_kv * 2),
         (kd.block_q, max(128, kd.block_kv // 2)),
     ):
-        cand = (lim_q(bq), lim_kv(bkv))
-        if cand in seen:
-            continue
-        seen.add(cand)
-        out.append(dataclasses.replace(kd, block_q=cand[0],
-                                       block_kv=cand[1]))
+        push(dataclasses.replace(kd, block_q=lim_q(bq), block_kv=lim_kv(bkv)))
+
+    # Row-group width: meaningful only when the block holds >1 group.
+    for qg in (256, 512):
+        if qg != kd.block_q_inner and qg <= kd.block_q:
+            push(dataclasses.replace(kd, block_q_inner=qg))
+    # D paging at large head dims.
+    d_pad = round_up(desc.head_dim, 128)
+    if d_pad > 128:
+        for bd in (128, 256, d_pad):
+            if bd != kd.block_d and d_pad % bd == 0:
+                push(dataclasses.replace(kd, block_d=bd))
+    # Causal schedule strategy.
+    if kd.causal:
+        alt = "tablegrid" if kd.causal_mode == "blockskip" else "blockskip"
+        push(dataclasses.replace(kd, causal_mode=alt))
     return out
 
 
@@ -160,19 +184,19 @@ def _attn_autotuned_kd(kind, kd, desc, q, k, run_candidate):
     cls_key = (kind, desc, str(q.dtype), str(k.dtype))
     hit = _attn_tuned.get(cls_key)
     if hit is not None:
-        return dataclasses.replace(kd, block_q=hit[0], block_kv=hit[1])
+        return hit
     if isinstance(q, jax.core.Tracer):
         return kd
-    best, best_t = (kd.block_q, kd.block_kv), None
+    best, best_t = kd, None
     for cand in _attn_autotune_candidates(kd, desc):
         try:
             t = _measure_dispatch(lambda: run_candidate(cand))
         except Exception:  # noqa: BLE001 — candidate may not compile
             continue
         if best_t is None or t < best_t:
-            best, best_t = (cand.block_q, cand.block_kv), t
+            best, best_t = cand, t
     _attn_tuned[cls_key] = best
-    return dataclasses.replace(kd, block_q=best[0], block_kv=best[1])
+    return best
 
 
 def _get_fwd(desc, kd, q, k, v, o_dtype, cfg):

@@ -49,7 +49,8 @@ def candidate_rows(head_dim: int, in_bytes: float, kernel_type: str,
 
 
 def tune_forward(head_dim: int = 128, seq: int = 4096, heads: int = 8,
-                 dtype=jnp.bfloat16, causal: bool = False, verbose=print):
+                 dtype=jnp.bfloat16, causal: bool = False, verbose=print,
+                 qg_set=(256, 512)):
     gen = params_mod.detect_generation()
     rng = np.random.default_rng(0)
     mk = lambda: jnp.asarray(
@@ -68,26 +69,35 @@ def tune_forward(head_dim: int = 128, seq: int = 4096, heads: int = 8,
     results = []
     in_bytes = jnp.dtype(dtype).itemsize
     for row in candidate_rows(head_dim, in_bytes, "forward", gen):
-        kd = dataclasses.replace(
-            base_kd, block_q=min(row.block_q, seq),
-            block_kv=min(row.block_kv, seq), block_d=row.block_d)
-        try:
-            fn = flash_fwd.build_fwd(
-                kd, batch_heads=heads, kv_batch_heads=heads,
-                seq_len_q=seq, seq_len_kv=seq,
-                d_pad=round_up(head_dim, 128),
-                scale=desc.softmax_scale,
-                q_dtype=dtype, kv_dtype=dtype, o_dtype=dtype,
-            )
-            res = measure(jax.jit(fn), (q, k, v), flops, 0, generation=gen,
-                          iters=3, inner_small=1, inner_big=8)
-        except Exception as e:  # noqa: BLE001 — candidate may not compile
-            verbose(f"  bq={row.block_q:5d} bkv={row.block_kv:5d} "
-                    f"bd={row.block_d:4d}  FAILED {type(e).__name__}")
-            continue
-        results.append((res.tflops, kd))
-        verbose(f"  bq={kd.block_q:5d} bkv={kd.block_kv:5d} bd={kd.block_d:4d}"
-                f"  {res.tflops:7.1f} TFLOP/s  util {res.compute_bound_utilization:.3f}")
+        # Row-group width (qg) joins the search (round-5: the offline
+        # harness previously pinned it while the measured tables tuned it).
+        qgs = [qg for qg in sorted(set(qg_set))
+               if qg <= min(row.block_q, seq)] or [min(row.block_q, seq)]
+        for qg in qgs:
+            kd = dataclasses.replace(
+                base_kd, block_q=min(row.block_q, seq),
+                block_kv=min(row.block_kv, seq), block_d=row.block_d,
+                block_q_inner=qg)
+            try:
+                fn = flash_fwd.build_fwd(
+                    kd, batch_heads=heads, kv_batch_heads=heads,
+                    seq_len_q=seq, seq_len_kv=seq,
+                    d_pad=round_up(head_dim, 128),
+                    scale=desc.softmax_scale,
+                    q_dtype=dtype, kv_dtype=dtype, o_dtype=dtype,
+                )
+                res = measure(jax.jit(fn), (q, k, v), flops, 0,
+                              generation=gen, iters=3, inner_small=1,
+                              inner_big=8)
+            except Exception as e:  # noqa: BLE001 — may not compile
+                verbose(f"  bq={row.block_q:5d} bkv={row.block_kv:5d} "
+                        f"bd={row.block_d:4d} qg={qg:4d}  FAILED "
+                        f"{type(e).__name__}")
+                continue
+            results.append((res.tflops, kd))
+            verbose(f"  bq={kd.block_q:5d} bkv={kd.block_kv:5d} "
+                    f"bd={kd.block_d:4d} qg={qg:4d}  {res.tflops:7.1f} "
+                    f"TFLOP/s  util {res.compute_bound_utilization:.3f}")
     results.sort(key=lambda t: -t[0])
     return results
 

@@ -208,6 +208,33 @@ def test_attention_dispatch_autotune_memoizes(rng):
         attn_mod._attn_tuned.clear()
 
 
+def test_attention_autotune_candidate_axes():
+    """Round-5: the dispatch autotune explores ALL tuned axes — row-group
+    width (qg), block_d paging, and the causal schedule — not just the
+    (block_q, block_kv) neighborhood."""
+    from mfa_tpu.ops import attention as attn_mod
+    from mfa_tpu.ops.descriptors import (AttentionDescriptor,
+                                         AttentionKernelType)
+
+    desc = AttentionDescriptor(
+        batch=1, num_q_heads=1, num_kv_heads=1, seq_len_q=2048,
+        seq_len_kv=2048, head_dim=256, causal=True,
+        low_precision_inputs=True)
+    kd = desc.kernel_descriptor(AttentionKernelType.FORWARD)
+    cands = attn_mod._attn_autotune_candidates(kd, desc)
+    if kd.block_q >= 512:
+        assert any(c.block_q_inner != kd.block_q_inner for c in cands)
+    assert any(c.block_d != kd.block_d for c in cands)
+    assert any(c.causal_mode != kd.causal_mode for c in cands)
+    # One-at-a-time discipline: every candidate differs from the row on at
+    # most one non-(bq,bkv) axis.
+    for c in cands:
+        extra = sum((c.block_q_inner != kd.block_q_inner,
+                     c.block_d != kd.block_d,
+                     c.causal_mode != kd.causal_mode))
+        assert extra <= 1
+
+
 def test_fp16_inputs_rejected(rng):
     """fp16 has no MXU datapath on TPU (round-4 probe: Mosaic compile
     fails); the public API refuses with guidance instead of silently
