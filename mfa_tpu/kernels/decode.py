@@ -33,6 +33,14 @@ from mfa_tpu.kernels.quant import fp8_max
 
 INT8_MAX = 127.0
 
+# Integer domain for the fp8→bf16 twiddle below. "i32" is the round-4
+# production path; "u16" runs the identical ops on uint16 lanes (2 elements
+# per 32-bit VPU lane IF Mosaic packs them — the round-5 hypothesis for
+# lifting the fp8 contiguous kernel from 0.66 of stream SoL, A/B'd on chip
+# by scripts/ab_fp8_convert.py). Module-level so the harness can flip it
+# before build_decode traces.
+FP8_CONVERT_DOMAIN = "i32"
+
 
 def fp8_to_bf16(x, kind: str = "e4m3"):
     """Bit-twiddled fp8 → bf16 widening (both are 1-sign/ke-exp/km-mant with
@@ -53,6 +61,14 @@ def fp8_to_bf16(x, kind: str = "e4m3"):
     (absent from quantize_fp8's clipped output) would map to a large finite.
     """
     shift, rebias = (4, 120) if kind == "e4m3" else (5, 112)
+    if FP8_CONVERT_DOMAIN == "u16":
+        # Same twiddle on uint16 lanes. Magnitude maxes at 0x7F0+0x3C00
+        # (e4m3) / 0xFE0+0x3800 (e5m2) — no u16 overflow; the sign lands
+        # exactly on bit 15.
+        u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.uint16)
+        mag = ((u & jnp.uint16(0x7F)) << shift) + jnp.uint16(rebias << 7)
+        bits = ((u & jnp.uint16(0x80)) << 8) | mag
+        return jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
     u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
     mag = ((u & 0x7F) << shift) + (rebias << 7)
     bits = ((u & 0x80) << 8) | mag

@@ -169,6 +169,29 @@ def test_fused_append_at_capacity(rng):
     assert np.isfinite(np.asarray(o, np.float32)).all()
 
 
+def test_fp8_convert_domains_bit_exact():
+    """The u16 twiddle domain (round-5 A/B candidate) must reproduce the
+    i32 domain bit-for-bit over every fp8 byte pattern, both kinds."""
+    import jax
+
+    from mfa_tpu.kernels import decode as dk
+
+    for fp8_dtype, kind in ((jnp.float8_e4m3fn, "e4m3"),
+                            (jnp.float8_e5m2, "e5m2")):
+        allb = jnp.arange(256, dtype=jnp.int32).astype(jnp.uint8)
+        x = jax.lax.bitcast_convert_type(allb, fp8_dtype)
+        assert dk.FP8_CONVERT_DOMAIN == "i32"
+        ref = np.asarray(jax.lax.bitcast_convert_type(
+            dk.fp8_to_bf16(x, kind), jnp.uint16))
+        dk.FP8_CONVERT_DOMAIN = "u16"
+        try:
+            got = np.asarray(jax.lax.bitcast_convert_type(
+                dk.fp8_to_bf16(x, kind), jnp.uint16))
+        finally:
+            dk.FP8_CONVERT_DOMAIN = "i32"
+        np.testing.assert_array_equal(got, ref, err_msg=kind)
+
+
 def test_decode_fp8_e5m2_cache(rng):
     """e5m2 KV storage path (gradient-format fp8; the bit-twiddle widening
     covers both fp8 layouts — kernels/decode.fp8_to_bf16)."""
