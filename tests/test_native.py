@@ -73,6 +73,17 @@ def test_host_bench_budget():
     assert "host-path budget OK" in out.stdout
 
 
+def test_pjrt_driver_links():
+    """The native DEVICE driver must stay buildable (round-4 verdict: the
+    pjrt link line silently rotted because nothing guarded it — the driver
+    had never been built). Build-only here; the end-to-end device run is
+    the round-5 MEASUREMENTS artifact (182 TF/s at 1488^3 bf16)."""
+    out = subprocess.run(["make", "-C", str(native._RUNTIME_DIR), "pjrt"],
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert (Path(native._RUNTIME_DIR) / "build" / "pjrt_driver").exists()
+
+
 # ---------------------------------------------------------------------------
 # C++ GEMM codegen → XLA compile → execute (runtime/gemm_emitter.cpp): the
 # native-side kernel-source path, the analogue of the reference's C++ MSL
