@@ -36,9 +36,14 @@ INT8_MAX = 127.0
 # Integer domain for the fp8→bf16 twiddle below. "i32" is the round-4
 # production path; "u16" runs the identical ops on uint16 lanes (2 elements
 # per 32-bit VPU lane IF Mosaic packs them — the round-5 hypothesis for
-# lifting the fp8 contiguous kernel from 0.66 of stream SoL, A/B'd on chip
-# by scripts/ab_fp8_convert.py). Module-level so the harness can flip it
-# before build_decode traces.
+# lifting the fp8 contiguous kernel from 0.66 of stream SoL). Round-5
+# outcome: REFUTED AT COMPILE — Mosaic rejects the u16 shift/bitcast inside
+# a Pallas kernel on v5e (tpu_compile_helper exit 1, same lowering gap as
+# the int8 shifts the round-4 kernels already work around), while the
+# identical ops compile through plain XLA (bit-exactness locked by
+# tests/test_decode.py::test_fp8_convert_domains_bit_exact). "i32" stays
+# the production path; the flag stays for a re-probe when a newer Mosaic
+# lands. scripts/ab_fp8_convert.py is the harness.
 FP8_CONVERT_DOMAIN = "i32"
 
 
