@@ -40,7 +40,11 @@ run_step int4_ab 1800 python -u scripts/ab_int4_unpack.py
 run_step decode_b16 2400 python -u bench_decode.py --wbits 4 --batch 16
 run_step decode_b32 2400 python -u bench_decode.py --wbits 4 --batch 32
 
-# 3. Large-D train utilization with the re-seeded rows.
+# 3. D=384 fwd top-up: the narrow-bkv candidates added after the first
+#    pass (sweep is resumable — only new candidates run).
+run_step d384_fwd2 1200 python -u scripts/sweep_r2.py --kernel forward --d 384
+
+# 4. Large-D train utilization with the re-seeded rows.
 run_step train_large_d 2400 python -u scripts/bench_train.py --d 384 512
 
 # 4. Headline bench (median-of-3; must land >= 0.85).

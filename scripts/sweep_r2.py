@@ -60,6 +60,11 @@ def record(rec):
 
 def fwd_candidates(d_pad, seq, in_bytes=2, causal=False):
     bkv_opts = (2048, 4096) if in_bytes == 2 else (512, 1024, 2048)
+    if d_pad > 256:
+        # Large D: the streamed-KV double buffer scales with d_pad, so the
+        # wide traversal blocks all overflow the VMEM filter at D=512
+        # (2*2*2048*512*2 = 16.8 MiB alone); give the sweep narrower ones.
+        bkv_opts = tuple(sorted(set(bkv_opts) | {512, 1024}))
     if causal:
         # Finer traversal blocks give the causal block/group skip its
         # granularity (at bkv = N every block straddles the diagonal).
