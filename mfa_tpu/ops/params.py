@@ -180,11 +180,17 @@ _FWD_BF16 = """
 # grid steps). D=128: 1024/4096 = 0.856 util vs 512/4096 = 0.81;
 # D=256: 256/4096/256 = 0.850. bkv clamps to the sequence, so short
 # sequences degrade gracefully.
+#
+# Large-D rows v5e-measured round 5 (docs/sweeps/r2_sweep.jsonl N=4096):
+# D=384: 1024/2048/384 = 0.855 (bd=384 ≥ bd=128 at every pair — the fp32
+# accumulator fits whole, so paging buys nothing at this dim); D=512 (inf
+# row): 256/1024/128 = 0.825 — the streamed-KV double buffer forces the
+# narrow traversal block at d_pad=512 on 16 MiB VMEM.
    64   |   512   |   4096   |  128    | Q
   128   |  1024   |   4096   |  128    | Q
   256   |   256   |   4096   |  256    | Q
-  384   |   256   |   1024   |  128    |
-  inf   |   128   |    512   |  128    |
+  384   |  1024   |   2048   |  384    |
+  inf   |   256   |   1024   |  128    |
 """
 
 # FP32 rows carry no residency list: the fp32 kernel path scales S in fp32
@@ -207,8 +213,12 @@ _BWD_Q_BF16 = """
    64   |  1024   |   2048   |  128    | Q
   128   |  1024   |   2048   |  128    | Q
   256   |  1024   |   1024   |  256    | Q
-  inf   |   128   |    128   |  128    |
+  384   |  1024   |   1024   |  384    |
+  inf   |   512   |   1024   |  256    |
 """
+# Large-D bwd_q rows v5e-measured round 5: D=384 1024/1024/384 = 0.978,
+# D=512 (inf) 512/1024/256 = 0.953 — the parallel-block shape class of the
+# D<=256 rows carries straight through; only bd grows with the dim.
 
 _BWD_Q_FP32 = """
    64   |   128   |    256   |   64    |
@@ -239,8 +249,14 @@ _BWD_KV_BF16 = """
    64   |  4096   |   1024   |  128    | Q
   128   |  4096   |   1024   |  128    | Q
   256   |  2048   |    512   |  256    | Q
-  inf   |   128   |    128   |  128    |
+  384   |  1024   |    512   |  256    |
+  inf   |  1024   |    512   |  256    |
 """
+# Large-D bwd_kv rows: D=512 (inf) 1024/512/256 = 0.891 v5e-measured round
+# 5 — narrower traversal than the D<=256 whole-sequence rows because the
+# streamed-Q/dO double buffers scale with d_pad. The D=384 row is a seed in
+# D=512's measured shape class (its first sweep pass died to a transient
+# TPU-worker crash; re-measured by the phase-2 queue).
 
 _BWD_KV_FP32 = """
    64   |   128   |    256   |   64    |
@@ -317,8 +333,8 @@ _FWD_BF16_V6E = """
    64   |   512   |   4096   |  128    | Q
   128   |  1024   |   4096   |  128    | Q
   256   |   512   |   4096   |  256    | Q
-  384   |   256   |   2048   |  128    |
-  inf   |   128   |    512   |  128    |
+  384   |  1024   |   2048   |  384    |
+  inf   |   256   |   2048   |  128    |
 """
 
 _BWD_Q_BF16_V6E = """
