@@ -152,10 +152,13 @@ def init_params_quantized(key, cfg: LlamaConfig,
         if int8:
             vals, scale = quant.quantize_int8(wf.T, axis=-1)
             return vals.T, scale.T
-        # Half-split biased-unsigned packing: streams at 4-bit rate through
-        # the fused Pallas dequant matmul (kernels/quant_matmul.py), with
-        # the cheaper &15/>>4 unpack (round 5).
-        return quant.pack_int4_biased(wf)
+        # Half-split packing: streams at 4-bit rate through the fused
+        # Pallas dequant matmul (kernels/quant_matmul.py). SIGNED nibbles:
+        # the round-5 A/B measured the biased-unsigned unpack (one fewer
+        # int VPU op/byte) at parity-to-1-3%-slower across the 8B decode
+        # projections — the unpack op count is not the limiter
+        # (docs/sweeps/int4_unpack.jsonl).
+        return quant.pack_int4_halves(wf)
 
     # One compiled function covers every layer (identical shapes): a single
     # compile + n_layers dispatches instead of 7·n_layers per-tensor
@@ -217,9 +220,10 @@ def quantize_params(params, precision: OperandPrecision):
         # the fused Pallas dequant matmul consumes at 4-bit HBM rate
         # (kernels/quant_matmul.py; the nibble-interleaved [out, in/2]
         # layout forced a full-weight dequant through HBM — 34 tok/s at 8B,
-        # round-4 post-mortem). Biased-unsigned nibbles since round 5: the
-        # uint8 storage dtype selects the cheaper unpack in int4_matmul.
-        vals, scale = quant.pack_int4_biased(wf)
+        # round-4 post-mortem). Signed nibbles: the biased-unsigned variant
+        # measured at parity-to-slightly-slower (round-5 A/B); a uint8
+        # packed array still dispatches to it transparently.
+        vals, scale = quant.pack_int4_halves(wf)
         return quant.QuantizedWeight(vals, scale, "int4")  # [in/2, out]
 
     out = dict(params)
