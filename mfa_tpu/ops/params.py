@@ -182,14 +182,16 @@ _FWD_BF16 = """
 # sequences degrade gracefully.
 #
 # Large-D rows v5e-measured round 5 (docs/sweeps/r2_sweep.jsonl N=4096):
-# D=384: 1024/2048/384 = 0.855 (bd=384 ≥ bd=128 at every pair — the fp32
-# accumulator fits whole, so paging buys nothing at this dim); D=512 (inf
-# row): 256/1024/128 = 0.825 — the streamed-KV double buffer forces the
-# narrow traversal block at d_pad=512 on 16 MiB VMEM.
+# D=384: the sweep's best 1024/2048/384 (0.855) does NOT compose — inside
+# the train-step VJP the scoped-VMEM allocation exceeds 16 MiB by 1.5 MiB
+# (the round-3 D=256 bwd_kv story again); ship the measured runner-up
+# 512/2048/128 (0.844, fits). D=512 (inf row): 256/1024/128 = 0.825 — the
+# streamed-KV double buffer forces the narrow traversal block at
+# d_pad=512 on 16 MiB VMEM.
    64   |   512   |   4096   |  128    | Q
   128   |  1024   |   4096   |  128    | Q
   256   |   256   |   4096   |  256    | Q
-  384   |  1024   |   2048   |  384    |
+  384   |   512   |   2048   |  128    |
   inf   |   256   |   1024   |  128    |
 """
 
@@ -249,14 +251,13 @@ _BWD_KV_BF16 = """
    64   |  4096   |   1024   |  128    | Q
   128   |  4096   |   1024   |  128    | Q
   256   |  2048   |    512   |  256    | Q
-  384   |  1024   |    512   |  256    |
+  384   |  1024   |    512   |  384    |
   inf   |  1024   |    512   |  256    |
 """
-# Large-D bwd_kv rows: D=512 (inf) 1024/512/256 = 0.891 v5e-measured round
-# 5 — narrower traversal than the D<=256 whole-sequence rows because the
-# streamed-Q/dO double buffers scale with d_pad. The D=384 row is a seed in
-# D=512's measured shape class (its first sweep pass died to a transient
-# TPU-worker crash; re-measured by the phase-2 queue).
+# Large-D bwd_kv rows v5e-measured round 5: D=384 1024/512/384 = 0.902,
+# D=512 (inf) 1024/512/256 = 0.891 — narrower traversal than the D<=256
+# whole-sequence rows because the streamed-Q/dO double buffers scale with
+# d_pad.
 
 _BWD_KV_FP32 = """
    64   |   128   |    256   |   64    |
