@@ -48,6 +48,16 @@ from mfa_tpu.ops.precision import (
 # design point — see docs/MEASUREMENTS.md round 4.
 _CAUSAL_MODE_DEFAULT = "tablegrid"
 _causal_mode_override: str | None = None
+# Row-group override for A/B harnesses (scripts/ab_headline.py); None =
+# the measured heuristic below.
+_qg_override: int | None = None
+
+
+def set_qg_override(qg: int | None) -> None:
+    """Force block_q_inner for every subsequently-built descriptor (A/B
+    harness hook, the qg analogue of set_causal_mode_override)."""
+    global _qg_override
+    _qg_override = qg
 
 
 def set_causal_mode_override(mode: str | None) -> None:
@@ -174,7 +184,8 @@ class AttentionDescriptor:
             # 0.918 at D=256 with the backward kernels widened too — the
             # wider group halves per-group state traffic and its S tile
             # still fits scoped VMEM at these block classes).
-            block_q_inner=(0 if is_causal
+            block_q_inner=(_qg_override if _qg_override is not None
+                           else 0 if is_causal
                            else 512 if block_q >= 1024 else 256),
         )
 
