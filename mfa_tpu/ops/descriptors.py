@@ -180,13 +180,18 @@ class AttentionDescriptor:
             # per group, and 1024/1024 qg=0 measured 0.533 vs 0.486 at
             # qg=256 (round-3 fwd A/B on v5e). Non-causal with a >=1024-row
             # block prefers qg=512 (round-4 sweeps: fwd 0.864 vs 0.825 at
-            # D=128 same-run; train-step 0.935 vs 0.924 at D=128, 0.920 vs
-            # 0.918 at D=256 with the backward kernels widened too — the
-            # wider group halves per-group state traffic and its S tile
-            # still fits scoped VMEM at these block classes).
+            # D=128 same-run; train-step 0.935 vs 0.924 at D=128 — the
+            # wider group halves per-group state traffic). GATED to
+            # d_pad <= 128: at larger head dims the doubled live S/dS tiles
+            # push scoped VMEM over 16 MiB (round-5 compile probes: bwd_kv
+            # D=256 2048/512/256 hits 16.63M at qg=512, compiles at 256;
+            # fwd D=384 1024/2048/384 hits 17.5M in the train VJP — every
+            # round-5 large-D sweep row was in fact measured at qg=256, the
+            # old tables' implied value).
             block_q_inner=(_qg_override if _qg_override is not None
                            else 0 if is_causal
-                           else 512 if block_q >= 1024 else 256),
+                           else 512 if block_q >= 1024 and d_padded <= 128
+                           else 256),
         )
 
 

@@ -181,17 +181,16 @@ _FWD_BF16 = """
 # D=256: 256/4096/256 = 0.850. bkv clamps to the sequence, so short
 # sequences degrade gracefully.
 #
-# Large-D rows v5e-measured round 5 (docs/sweeps/r2_sweep.jsonl N=4096):
-# D=384: the sweep's best 1024/2048/384 (0.855) does NOT compose — inside
-# the train-step VJP the scoped-VMEM allocation exceeds 16 MiB by 1.5 MiB
-# (the round-3 D=256 bwd_kv story again); ship the measured runner-up
-# 512/2048/128 (0.844, fits). D=512 (inf row): 256/1024/128 = 0.825 — the
-# streamed-KV double buffer forces the narrow traversal block at
+# Large-D rows v5e-measured round 5 (docs/sweeps/r2_sweep.jsonl N=4096;
+# all large-D measurements at qg=256 — the qg=512 widening is gated to
+# d_pad <= 128 by the scoped-VMEM compile probes, descriptors.py):
+# D=384: 1024/2048/384 = 0.855; D=512 (inf row): 256/1024/128 = 0.825 —
+# the streamed-KV double buffer forces the narrow traversal block at
 # d_pad=512 on 16 MiB VMEM.
    64   |   512   |   4096   |  128    | Q
   128   |  1024   |   4096   |  128    | Q
   256   |   256   |   4096   |  256    | Q
-  384   |   512   |   2048   |  128    |
+  384   |  1024   |   2048   |  384    |
   inf   |   256   |   1024   |  128    |
 """
 
