@@ -283,9 +283,14 @@ _FWD_BF16_CAUSAL = """
 _BWD_Q_BF16_CAUSAL = """
    64   |  1024   |   1024   |  128    | Q
   128   |  1024   |   1024   |  128    | Q
-  256   |  1024   |   1024   |  256    | Q
+  256   |   512   |   1024   |  256    | Q
   inf   |   128   |    128   |  128    |
 """
+# Causal bwd_q D=256: 1024/1024/256 at the causal qg=0 (single row group)
+# needs 16.43M scoped VMEM on the current Mosaic — 0.43M over (round-5
+# compile probe). 512/1024/256 compiles; so does 1024/1024/256 at qg=256,
+# but the qg=0 rule is the round-3 causal measurement — ship the smaller
+# parallel block.
 
 # bwd_kv: block_q is the TRAVERSAL block — causal skip granularity lives on
 # it, so unlike non-causal (whole-sequence traversal) it stays moderate.
