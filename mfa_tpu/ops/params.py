@@ -184,13 +184,16 @@ _FWD_BF16 = """
 # Large-D rows v5e-measured round 5 (docs/sweeps/r2_sweep.jsonl N=4096;
 # all large-D measurements at qg=256 — the qg=512 widening is gated to
 # d_pad <= 128 by the scoped-VMEM compile probes, descriptors.py):
-# D=384: 1024/2048/384 = 0.855; D=512 (inf row): 256/1024/128 = 0.825 —
-# the streamed-KV double buffer forces the narrow traversal block at
-# d_pad=512 on 16 MiB VMEM.
+# D=384: the sweep winner 1024/2048/384 (0.855) does not COMPOSE — in the
+# train-step VJP its scoped-VMEM allocation reaches 18.0M (bench_train
+# compile error, twice-probed) — so ship the measured runner-up
+# 512/2048/128 (166.3 TF/s, 0.844). D=512 (inf row): 256/1024/128 =
+# 0.825 — the streamed-KV double buffer forces the narrow traversal
+# block at d_pad=512 on 16 MiB VMEM.
    64   |   512   |   4096   |  128    | Q
   128   |  1024   |   4096   |  128    | Q
   256   |   256   |   4096   |  256    | Q
-  384   |  1024   |   2048   |  384    |
+  384   |   512   |   2048   |  128    |
   inf   |   256   |   1024   |  128    |
 """
 
