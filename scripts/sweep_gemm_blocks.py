@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mfa_tpu.kernels import gemm_kernel
 from mfa_tpu.ops.descriptors import GEMMDescriptor, round_up
 from mfa_tpu.ops.params import detect_generation
+from mfa_tpu.ops.precision import OperandPrecision
 from mfa_tpu.utils.roofline import measure_chained
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -107,9 +108,10 @@ def main():
                 m_pad = -(-size // bm) * bm
                 n_pad = -(-size // bn) * bn
                 k_pad = -(-size // bk) * bk
+                prec = OperandPrecision.BF16
                 desc = GEMMDescriptor(
                     m=size, n=size, k=size, transpose_a=ta, transpose_b=tb,
-                    a_bytes=2, b_bytes=2, c_bytes=2)
+                    a_precision=prec, b_precision=prec, c_precision=prec)
                 kd = desc.kernel_descriptor(gen)
                 kd = dataclasses.replace(kd, block_m=bm, block_n=bn,
                                          block_k=bk)
