@@ -406,8 +406,16 @@ def vmem_bytes_estimate(
     # Operand slabs in VMEM are lane-padded: the kernels stream/hold
     # d_pad = round_up(D, 128)-wide slices, so budget against the padded
     # width (a D=64 row with block_d=128 really moves 128-wide slabs).
+    #
+    # NO d-paging discount (round-5 compile-probe calibration,
+    # scripts/calibrate_vmem.py → docs/sweeps/vmem_probe.jsonl): Mosaic's
+    # scoped-stack allocation does not shrink when block_d < d_pad — it
+    # GROWS (causal bwd_q D=256 1024/1024: 22.94M at bd=128 vs 16.43M at
+    # bd=256; every probed bd<d_pad config the old discount admitted
+    # failed to compile). The paged loop re-slices full-width slabs, so
+    # budget slabs at d_pad regardless of block_d.
     d_pad = ((head_dim + 127) // 128) * 128
-    d = min(d_pad, row.block_d) if row.block_d else d_pad
+    d = d_pad
     bq, bkv = row.block_q, row.block_kv
     acc = 4  # fp32 accumulator bytes
     # Streamed K and V blocks, double buffered:
