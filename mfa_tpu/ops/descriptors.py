@@ -305,6 +305,33 @@ class GEMMDescriptor:
         """
         gen = generation or params_mod.detect_generation()
         in_bytes = max(self.a_precision.bytes, self.b_precision.bytes)
+        budget = gen.vmem_bytes * 0.7
+
+        # Large problems: output-stationary whole-K macro-tiles (no k grid
+        # axis — one (bm, bn) output tile accumulates its whole-K product
+        # in VMEM while Mosaic tiles the in-block K loop). Round-5 chip
+        # sweep (docs/sweeps/gemm_blocks.jsonl): 768³-macro whole-K lifts
+        # the in-house kernel at 1488³ from 131 → 160-167 TF/s (NN/NT) and
+        # reclaims TN/TT to 154-156 — NT reaches ~0.95 of XLA. Applied
+        # when the whole-K A/B slabs of at least a 256-macro-tile fit the
+        # VMEM budget.
+        whole_k = _round_up(self.k, 128)
+        if self.m * self.n * self.k >= 1152 ** 3:
+            for mac in (768, 512, 256):
+                bm = min(mac, _round_up(self.m, 128))
+                bn = min(mac, _round_up(self.n, 128))
+                if (bm * bn * 4 + 2 * in_bytes * whole_k * (bm + bn)
+                        <= budget):
+                    return GEMMKernelDescriptor(
+                        block_m=bm, block_n=bn, block_k=whole_k,
+                        a_precision=self.a_precision,
+                        b_precision=self.b_precision,
+                        c_precision=self.c_precision,
+                        transpose_a=self.transpose_a,
+                        transpose_b=self.transpose_b,
+                        load_previous_c=self.load_previous_c,
+                        generation=gen.name,
+                    )
 
         # Start from the large square block and shrink along each dim to the
         # problem; keep multiples of the MXU tile.
@@ -312,7 +339,6 @@ class GEMMDescriptor:
         bn = min(512, _round_up(self.n, 128))
         bk = min(512, _round_up(self.k, 128))
         # VMEM: 2*(bm*bk + bk*bn)*in_bytes (double-buffered A/B) + bm*bn*4
-        budget = gen.vmem_bytes * 0.7
         while bm * bn * 4 + 2 * in_bytes * bk * (bm + bn) > budget:
             if bk > 128:
                 bk //= 2
