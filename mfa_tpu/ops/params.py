@@ -215,7 +215,7 @@ _BWD_Q_BF16 = """
 # util (vs 0.785 at the old 256/1024-class blocks); D=256: 1024/1024/256 =
 # 0.937; D=64 is pad-limited (see MEASUREMENTS.md): 1024/2048 = 0.463.
    64   |  1024   |   2048   |  128    | Q
-  128   |  1024   |   2048   |  128    | Q
+  128   |  1024   |   4096   |  128    | Q
   256   |  1024   |   1024   |  256    | Q
   384   |  1024   |   1024   |  384    |
   inf   |   512   |   1024   |  256    |
@@ -223,6 +223,10 @@ _BWD_Q_BF16 = """
 # Large-D bwd_q rows v5e-measured round 5: D=384 1024/1024/384 = 0.978,
 # D=512 (inf) 512/1024/256 = 0.953 — the parallel-block shape class of the
 # D<=256 rows carries straight through; only bd grows with the dim.
+# D=128 traversal widened to the whole sequence round 5: 1024/4096 =
+# 0.950 measured vs 0.916 at 2048 — a config the old VMEM envelope
+# wrongly pruned (compile probes showed it builds; docs/sweeps/
+# vmem_probe.jsonl "loose" rows).
 
 _BWD_Q_FP32 = """
    64   |   128   |    256   |   64    |
@@ -435,7 +439,12 @@ def vmem_bytes_estimate(
     if kernel_type == "forward":
         tile = min(bq, 256) * bkv * (acc + 2) + 2 * bq * acc
     else:
-        tile = min(bq, 512) * bkv * acc * 2 + 2 * bq * acc
+        # One live fp32 group tile, not two: the round-5 compile probes
+        # (docs/sweeps/vmem_probe.jsonl) show bwd_q 1024/4096/128 builds
+        # and runs (0.950 measured; composed train 0.945) — under the old
+        # 2-tile model that row scored 22.5 MiB, impossible. Mosaic reuses
+        # the S allocation for dS/dP within a group.
+        tile = min(bq, 512) * bkv * acc + 2 * bq * acc
     if kernel_type != "forward":
         # backward holds more slabs (dO or K/V + two accumulators)
         resident += bq * d * in_bytes + bq * d_pad * acc
