@@ -220,6 +220,38 @@ def test_autotune_candidates_cover_heuristic_and_axes():
     assert 2 <= len(cands) <= 8
 
 
+def test_large_volume_heuristic_whole_k():
+    """Volumes >=1152^3 get the round-5 output-stationary whole-K
+    macro-tiles (no k grid axis) when the slabs fit VMEM; small problems
+    keep the k-blocked form."""
+    from mfa_tpu.ops.descriptors import GEMMDescriptor, round_up
+    from mfa_tpu.ops.params import GENERATIONS
+    from mfa_tpu.ops.precision import OperandPrecision
+
+    prec = OperandPrecision.BF16
+    gen = GENERATIONS["v5e"]
+    big = GEMMDescriptor(m=1488, n=1488, k=1488, a_precision=prec,
+                         b_precision=prec, c_precision=prec)
+    kd = big.kernel_descriptor(gen)
+    assert kd.block_k == round_up(1488, 128)       # whole K
+    assert kd.block_m == kd.block_n == 768         # measured macro-tile
+    # Slabs must fit the budget the heuristic claims (0.78 whole-K gate).
+    assert (kd.block_m * kd.block_n * 4
+            + 2 * 2 * kd.block_k * (kd.block_m + kd.block_n)
+            <= gen.vmem_bytes * 0.78)
+
+    small = GEMMDescriptor(m=512, n=512, k=512, a_precision=prec,
+                           b_precision=prec, c_precision=prec)
+    kds = small.kernel_descriptor(gen)
+    assert kds.block_k <= 512                      # k-blocked path intact
+
+    # Huge K: whole-K slabs cannot fit — falls back to k-blocking.
+    deep = GEMMDescriptor(m=4096, n=4096, k=16384, a_precision=prec,
+                          b_precision=prec, c_precision=prec)
+    kdd = deep.kernel_descriptor(gen)
+    assert kdd.block_k < round_up(16384, 128)
+
+
 def test_autotune_off_by_default(monkeypatch):
     from mfa_tpu.ops import gemm as gemm_mod
 
